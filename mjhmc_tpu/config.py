@@ -1,0 +1,125 @@
+"""Dataclass configs + the five named benchmark presets.
+
+TPU-native replacement for the reference's constructor-kwargs + Spearmint
+config files (SURVEY.md §5 "Config / flag system"): the BASELINE.json
+benchmark configs are checked in as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    epsilon: float = 1.0
+    beta: float = 0.1
+    num_leapfrog_steps: int = 5
+    nbatch: int = 128
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MJHMCConfig(SamplerConfig):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlHMCConfig(SamplerConfig):
+    beta: float = 0.2
+    flip_on_reject: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTSConfig:
+    epsilon: float = 1.0
+    max_depth: int = 8
+    nbatch: int = 128
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchmarkConfig:
+    """One named benchmark scenario (BASELINE.json configs 1-5)."""
+
+    name: str
+    distribution: str
+    dist_kwargs: tuple  # ((key, value), ...) — hashable
+    sampler: str
+    nbatch: int
+    epsilon: float
+    beta: float
+    num_leapfrog_steps: int
+    description: str
+    mesh_axes: Optional[tuple] = None
+
+    def make_distribution(self):
+        from mjhmc_tpu.models import get_distribution
+
+        return get_distribution(self.distribution, **dict(self.dist_kwargs))
+
+
+BENCHMARK_CONFIGS = {
+    # BASELINE.json config 1 — CPU-runnable
+    "gauss2d": BenchmarkConfig(
+        name="gauss2d",
+        distribution="gaussian",
+        dist_kwargs=(("ndims", 2), ("log_conditioning", 2.0)),
+        sampler="mjhmc",
+        nbatch=100,
+        epsilon=1.0,
+        beta=0.1,
+        num_leapfrog_steps=5,
+        description="2D anisotropic Gaussian, MJHMC vs control HMC, 100 chains",
+    ),
+    # BASELINE.json config 2 — the headline benchmark
+    "rough_well": BenchmarkConfig(
+        name="rough_well",
+        distribution="rough_well",
+        dist_kwargs=(("ndims", 2), ("scale1", 100.0), ("scale2", 4.0)),
+        sampler="mjhmc",
+        nbatch=10_000,
+        epsilon=1.0,
+        beta=0.1,
+        num_leapfrog_steps=10,
+        description="2D rough-well, 10k vmapped chains (≥1M leapfrog steps/s/chip)",
+    ),
+    # BASELINE.json config 3
+    "product_of_t": BenchmarkConfig(
+        name="product_of_t",
+        distribution="product_of_t",
+        dist_kwargs=(("ndims", 36), ("nbasis", 36), ("nu", 2.5)),
+        sampler="mjhmc",
+        nbatch=4096,
+        epsilon=0.2,
+        beta=0.1,
+        num_leapfrog_steps=5,
+        description="Product-of-t heavy-tailed, MJHMC + NUTS, step-size adaptation",
+    ),
+    # BASELINE.json config 4
+    "gauss50d": BenchmarkConfig(
+        name="gauss50d",
+        distribution="gaussian",
+        dist_kwargs=(("ndims", 50), ("log_conditioning", 4.0)),
+        sampler="mjhmc",
+        nbatch=4096,
+        epsilon=0.1,
+        beta=0.1,
+        num_leapfrog_steps=10,
+        description="50D ill-conditioned Gaussian, spectral-gap/autocorr diagnostics",
+    ),
+    # BASELINE.json config 5
+    "sparse_coding": BenchmarkConfig(
+        name="sparse_coding",
+        distribution="sparse_coding",
+        dist_kwargs=(("npixels", 64), ("nbasis", 128)),
+        sampler="mjhmc",
+        nbatch=8192,
+        epsilon=0.02,
+        beta=0.1,
+        num_leapfrog_steps=10,
+        description="Sparse-coding posterior, chains sharded over pod, SMC resampling",
+        mesh_axes=("chains",),
+    ),
+}

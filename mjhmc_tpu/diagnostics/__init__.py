@@ -1,0 +1,18 @@
+"""Diagnostics: weighted autocorrelation, ESS, spectral gaps (SURVEY.md L4)."""
+
+from mjhmc_tpu.diagnostics.autocorr import (
+    weighted_autocorrelation,
+    autocorrelation,
+    effective_sample_size,
+    autocorrelation_vs_grad_evals,
+)
+from mjhmc_tpu.diagnostics.spectral import spectral_gap_discrete, spectral_gap_continuous
+
+__all__ = [
+    "weighted_autocorrelation",
+    "autocorrelation",
+    "effective_sample_size",
+    "autocorrelation_vs_grad_evals",
+    "spectral_gap_discrete",
+    "spectral_gap_continuous",
+]

@@ -1,0 +1,130 @@
+"""Sparse-coding posterior — the large-state benchmark.
+
+Reference behavior (SURVEY.md §2.2d): energy over coefficients ``a`` of
+natural-image patches under a pre-trained dictionary Φ,
+
+    U(a) = λ · Σᵢ smooth_l1(aᵢ)  +  ½σ⁻² ‖x − Φa‖²
+
+originally Theano-compiled, with Φ shipped as a data file. The reference's
+data file is unavailable (reference mount empty — SURVEY.md provenance
+notice), so Φ here is a deterministic synthetic Gabor-like dictionary and
+the patch batch is generated from the model itself (sparse ground-truth
+coefficients + noise); the *energy family and its scale structure* match
+the reference spec, which is what the samplers exercise.
+
+The Φa contraction is a single (npixels × nbasis) matmul on the MXU; at
+pod scale the basis axis may be sharded over a ``model`` mesh axis with a
+psum of partial residuals (SURVEY.md §5 long-context analogue) — see
+``parallel.mesh``.
+
+BASELINE config 5 runs this chain-sharded with SMC resampling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjhmc_tpu.models.base import Distribution, register
+
+Array = jax.Array
+
+
+def _gabor_dictionary(npixels: int, nbasis: int, seed: int) -> np.ndarray:
+    """Deterministic Gabor-like dictionary, columns unit-norm.
+
+    (side × side) patches; parameters drawn from a seeded host RNG.
+    """
+    side = int(round(np.sqrt(npixels)))
+    assert side * side == npixels, "npixels must be a perfect square"
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:side, 0:side].astype(np.float64)
+    phis = np.empty((npixels, nbasis))
+    for j in range(nbasis):
+        theta = rng.uniform(0, np.pi)
+        freq = rng.uniform(0.5, 2.0) / side * 2 * np.pi
+        phase = rng.uniform(0, 2 * np.pi)
+        cx, cy = rng.uniform(0, side, 2)
+        sigma = rng.uniform(0.15, 0.35) * side
+        xr = (xx - cx) * np.cos(theta) + (yy - cy) * np.sin(theta)
+        env = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma**2))
+        g = env * np.cos(freq * xr + phase)
+        g -= g.mean()
+        n = np.linalg.norm(g)
+        phis[:, j] = (g / (n if n > 1e-9 else 1.0)).ravel()
+    return phis.astype(np.float32)
+
+
+@register("sparse_coding")
+@dataclasses.dataclass(frozen=True)
+class SparseCoding(Distribution):
+    """Posterior over sparse codes ``a`` given patches ``x`` (one per chain).
+
+    Chain state dimensionality = ``nbasis``. Each chain can carry its own
+    conditioning patch (set via ``with_patches``); by default all chains
+    share one synthetic patch so the object is usable standalone.
+    """
+
+    npixels: int = 64
+    nbasis: int = 128
+    lam: float = 1.0  # sparsity weight λ
+    sigma: float = 0.1  # observation noise σ
+    smooth_eps: float = 1e-3  # smooth-L1 knee
+    dict_seed: int = 0
+    patch_seed: int = 1
+
+    @property
+    def ndims(self) -> int:  # type: ignore[override]
+        return self.nbasis
+
+    @functools.cached_property
+    def _phi(self) -> np.ndarray:
+        return _gabor_dictionary(self.npixels, self.nbasis, self.dict_seed)
+
+    @property
+    def dictionary(self) -> Array:
+        """Φ: (npixels, nbasis)."""
+        return jnp.asarray(self._phi)
+
+    @functools.cached_property
+    def _patch(self) -> np.ndarray:
+        """One synthetic patch generated from the model: x = Φ a₀ + ε."""
+        rng = np.random.default_rng(self.patch_seed)
+        a0 = rng.laplace(scale=0.5, size=self.nbasis)
+        a0 *= rng.random(self.nbasis) < 0.1  # sparse support
+        x = self._phi @ a0 + self.sigma * rng.standard_normal(self.npixels)
+        return x.astype(np.float32)
+
+    @property
+    def patch(self) -> Array:
+        return jnp.asarray(self._patch)[:, None]  # (npixels, 1) broadcast
+
+    # ---------------------------------------------------------------- energy
+    def _smooth_l1(self, a: Array) -> Array:
+        return jnp.sqrt(a * a + self.smooth_eps)
+
+    def potential(self, a: Array) -> Array:
+        phi = self.dictionary
+        resid = self.patch - jnp.dot(phi, a, preferred_element_type=jnp.float32)
+        sparse = self.lam * jnp.sum(self._smooth_l1(a), axis=0)
+        fit = 0.5 / (self.sigma**2) * jnp.sum(resid * resid, axis=0)
+        return sparse + fit
+
+    def potential_and_grad(self, a: Array):
+        phi = self.dictionary
+        resid = self.patch - jnp.dot(phi, a, preferred_element_type=jnp.float32)
+        s = jnp.sqrt(a * a + self.smooth_eps)
+        u = self.lam * jnp.sum(s, axis=0) + 0.5 / (self.sigma**2) * jnp.sum(
+            resid * resid, axis=0
+        )
+        g = self.lam * (a / s) - (1.0 / self.sigma**2) * jnp.dot(
+            phi.T, resid, preferred_element_type=jnp.float32
+        )
+        return u, g
+
+    def init_x(self, key: Array, nbatch: int) -> Array:
+        return 0.1 * jax.random.normal(key, (self.nbasis, nbatch), jnp.float32)

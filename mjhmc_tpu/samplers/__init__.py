@@ -1,0 +1,36 @@
+"""Samplers: MJHMC core, control HMC, NUTS, algebraic ladder oracle."""
+
+from mjhmc_tpu.samplers.state import (
+    ChainState,
+    MJState,
+    HMCState,
+    make_chain_state,
+    make_mj_state,
+    make_hmc_state,
+)
+from mjhmc_tpu.samplers.mjhmc import (
+    MarkovJumpHMC,
+    MJStepOut,
+    MomentAccumulator,
+    mjhmc_step,
+    mjhmc_run,
+)
+from mjhmc_tpu.samplers.hmc import ControlHMC, HMCStepOut, hmc_step, hmc_run
+
+__all__ = [
+    "ChainState",
+    "MJState",
+    "HMCState",
+    "make_chain_state",
+    "make_mj_state",
+    "make_hmc_state",
+    "MarkovJumpHMC",
+    "MJStepOut",
+    "MomentAccumulator",
+    "mjhmc_step",
+    "mjhmc_run",
+    "ControlHMC",
+    "HMCStepOut",
+    "hmc_step",
+    "hmc_run",
+]
