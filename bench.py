@@ -1,0 +1,74 @@
+"""Headline benchmark: MJHMC on the 2-D rough well, 10k chains, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Target (BASELINE.json:5): ≥ 1,000,000 leapfrog steps/sec/chip.
+
+Counting is conservative: only the *algorithmic forward* trajectory steps
+(nbatch × M per iteration) are credited, even though each iteration also
+integrates the fused backward half-batch (see samplers/mjhmc.py docstring);
+hardware integrator throughput is ~2× the reported figure.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mjhmc_tpu.config import BENCHMARK_CONFIGS
+from mjhmc_tpu.samplers import make_mj_state
+from mjhmc_tpu.samplers.mjhmc import mjhmc_run
+
+
+def main():
+    cfg = BENCHMARK_CONFIGS["rough_well"]
+    dist = cfg.make_distribution()
+    nbatch, m = cfg.nbatch, cfg.num_leapfrog_steps
+    steps_per_call = 200
+
+    state = make_mj_state(dist, jax.random.key(0), nbatch)
+
+    @jax.jit
+    def run(state, key):
+        return mjhmc_run(
+            dist,
+            state,
+            key,
+            steps_per_call,
+            cfg.epsilon,
+            cfg.beta,
+            m,
+            unroll=2,
+            collect="stats",
+        )
+
+    # warmup / compile
+    key = jax.random.key(1)
+    state, _ = jax.block_until_ready(run(state, key))
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        state, out = run(state, key)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    leapfrog_steps = iters * steps_per_call * nbatch * m
+    rate = leapfrog_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "leapfrog_steps_per_sec_per_chip",
+                "value": rate,
+                "unit": "steps/s",
+                "vs_baseline": rate / 1_000_000.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

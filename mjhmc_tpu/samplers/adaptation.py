@@ -1,0 +1,125 @@
+"""Dual-averaging step-size adaptation (on-device).
+
+Replaces the reference's offline Spearmint hyperparameter search
+(SURVEY.md §2.8 / L6) with Nesterov dual averaging on the step size
+(Hoffman & Gelman, arXiv:1111.4246 §3.2), running inside the sampler scan:
+the per-step acceptance statistic is averaged across **all** chains —
+under a chain-sharded mesh that mean compiles to a psum over the mesh
+(the only collective in the adaptive hot loop, SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mjhmc_tpu.models.base import Distribution
+from mjhmc_tpu.samplers.mjhmc import mjhmc_step, MomentAccumulator
+from mjhmc_tpu.samplers.hmc import hmc_step
+from mjhmc_tpu.samplers.state import MJState, HMCState
+
+Array = jax.Array
+
+
+class DualAveragingState(NamedTuple):
+    step: Array  # i32
+    log_eps: Array  # current log step size
+    log_eps_bar: Array  # averaged iterate (the one to freeze)
+    h_bar: Array  # running error statistic
+    mu: Array  # shrinkage target
+
+
+def da_init(eps0: float) -> DualAveragingState:
+    log_eps0 = jnp.float32(jnp.log(eps0))
+    return DualAveragingState(
+        step=jnp.int32(0),
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.float32(0.0),
+        mu=jnp.float32(jnp.log(10.0) + log_eps0),
+    )
+
+
+def da_update(
+    da: DualAveragingState,
+    accept_mean: Array,
+    target: float = 0.65,
+    gamma: float = 0.05,
+    t0: float = 10.0,
+    kappa: float = 0.75,
+) -> DualAveragingState:
+    step = da.step + 1
+    stepf = step.astype(jnp.float32)
+    frac = 1.0 / (stepf + t0)
+    h_bar = (1.0 - frac) * da.h_bar + frac * (target - accept_mean)
+    log_eps = da.mu - jnp.sqrt(stepf) / gamma * h_bar
+    eta = stepf ** (-kappa)
+    log_eps_bar = eta * log_eps + (1.0 - eta) * da.log_eps_bar
+    return DualAveragingState(step, log_eps, log_eps_bar, h_bar, da.mu)
+
+
+def da_epsilon(da: DualAveragingState, frozen: bool = False) -> Array:
+    return jnp.exp(da.log_eps_bar if frozen else da.log_eps)
+
+
+def adaptive_mjhmc_run(
+    dist: Distribution,
+    state: MJState,
+    da: DualAveragingState,
+    key: Array,
+    num_steps: int,
+    beta: Array | float,
+    num_leapfrog_steps: int,
+    target_accept: float = 0.65,
+    unroll: int = 1,
+) -> Tuple[MJState, DualAveragingState, dict]:
+    """Warmup scan: MJHMC step + dual-averaging ε update each iteration.
+
+    ``jnp.mean(accept_stat)`` is a global cross-chain mean — with the chain
+    axis sharded over a mesh, XLA lowers it to a psum (the full "training
+    step" exercised by ``__graft_entry__.dryrun_multichip``).
+    """
+    keys = jax.random.split(key, num_steps)
+    ndims, nbatch = state.chain.x.shape
+    acc0 = MomentAccumulator.init(ndims, nbatch)
+
+    def body(carry, k):
+        s, d, a = carry
+        eps = jnp.exp(d.log_eps)
+        s, out = mjhmc_step(dist, s, k, eps, beta, num_leapfrog_steps, unroll)
+        d = da_update(d, jnp.mean(out.accept_stat), target=target_accept)
+        return (s, d, a.update(out.x, out.dwell)), eps
+
+    (state, da, acc), eps_trace = lax.scan(body, (state, da, acc0), keys)
+    return state, da, {"moments": acc, "eps_trace": eps_trace}
+
+
+def adaptive_hmc_run(
+    dist: Distribution,
+    state: HMCState,
+    da: DualAveragingState,
+    key: Array,
+    num_steps: int,
+    beta: Array | float,
+    num_leapfrog_steps: int,
+    target_accept: float = 0.65,
+    unroll: int = 1,
+) -> Tuple[HMCState, DualAveragingState, dict]:
+    """Warmup scan for control HMC with dual averaging."""
+    keys = jax.random.split(key, num_steps)
+    ndims, nbatch = state.chain.x.shape
+    acc0 = MomentAccumulator.init(ndims, nbatch)
+    ones = jnp.ones((nbatch,), jnp.float32)
+
+    def body(carry, k):
+        s, d, a = carry
+        eps = jnp.exp(d.log_eps)
+        s, out = hmc_step(dist, s, k, eps, beta, num_leapfrog_steps, unroll)
+        d = da_update(d, jnp.mean(out.accept_stat), target=target_accept)
+        return (s, d, a.update(out.x, ones)), eps
+
+    (state, da, acc), eps_trace = lax.scan(body, (state, da, acc0), keys)
+    return state, da, {"moments": acc, "eps_trace": eps_trace}
