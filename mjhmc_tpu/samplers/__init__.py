@@ -16,6 +16,14 @@ from mjhmc_tpu.samplers.mjhmc import (
     mjhmc_run,
 )
 from mjhmc_tpu.samplers.hmc import ControlHMC, HMCStepOut, hmc_step, hmc_run
+from mjhmc_tpu.samplers.nuts import (
+    NUTS,
+    NUTSState,
+    NUTSStepOut,
+    make_nuts_state,
+    nuts_step,
+    nuts_run,
+)
 
 __all__ = [
     "ChainState",
@@ -33,4 +41,10 @@ __all__ = [
     "HMCStepOut",
     "hmc_step",
     "hmc_run",
+    "NUTS",
+    "NUTSState",
+    "NUTSStepOut",
+    "make_nuts_state",
+    "nuts_step",
+    "nuts_run",
 ]
