@@ -1,0 +1,97 @@
+"""Autocorrelation-vs-gradient-evaluations experiment.
+
+TPU-native form of the reference's ``calculate_autocorrelation`` driver
+(SURVEY.md §2.5/§3.3): run a sampler from shared burned-in inits, collect
+(sample, dwell-weight) streams, and report the autocorrelation curve
+against the paper's fairness axis — cumulative gradient evaluations — using
+the traced eval counters for exact per-sampler cost.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjhmc_tpu.diagnostics import weighted_autocorrelation
+from mjhmc_tpu.models.base import Distribution
+from mjhmc_tpu.samplers import (
+    ControlHMC,
+    MarkovJumpHMC,
+    NUTS,
+)
+from mjhmc_tpu.utils.init_cache import burned_in_init
+
+Array = jax.Array
+
+SAMPLERS = {
+    "mjhmc": MarkovJumpHMC,
+    "control": ControlHMC,
+    "nuts": NUTS,
+}
+
+
+class ACResult(NamedTuple):
+    name: str
+    grad_evals: np.ndarray  # (nlags,) cumulative-eval axis
+    rho: np.ndarray  # (nlags,) autocorrelation
+    decay_evals: float  # evals to reach ρ = 1/e (interpolated)
+    total_grad_evals: int
+
+
+def _decay_time(evals: np.ndarray, rho: np.ndarray, level: float = np.e**-1):
+    below = np.nonzero(rho < level)[0]
+    if len(below) == 0:
+        return float(evals[-1])
+    i = below[0]
+    if i == 0:
+        return float(evals[0])
+    # linear interpolation between lag i-1 and i
+    f = (rho[i - 1] - level) / (rho[i - 1] - rho[i])
+    return float(evals[i - 1] + f * (evals[i] - evals[i - 1]))
+
+
+def calculate_autocorrelation(
+    dist: Distribution,
+    sampler: str = "mjhmc",
+    num_steps: int = 2000,
+    nbatch: int = 256,
+    nlags: int = 200,
+    burn_steps: int = 500,
+    seed: int = 0,
+    use_cached_init: bool = True,
+    **sampler_kwargs,
+) -> ACResult:
+    """Run ``sampler`` on ``dist``; return the ρ-vs-grad-evals curve."""
+    cls = SAMPLERS[sampler]
+    s = cls(dist, nbatch=nbatch, seed=seed, **sampler_kwargs)
+    if use_cached_init:
+        x0 = burned_in_init(dist, nbatch, burn_steps=burn_steps, seed=seed + 1000)
+        if sampler == "nuts":
+            u, g = dist.potential_and_grad(x0)
+            s.state = s.state._replace(x=x0, u=u, grad=g)
+        else:
+            u, g = dist.potential_and_grad(x0)
+            s.state = s.state._replace(
+                chain=s.state.chain._replace(x=x0, u=u, grad=g)
+            )
+    else:
+        s.burn_in(burn_steps)
+
+    out = s.sample(num_steps)
+    xs = jnp.asarray(out["x"])
+    w = jnp.asarray(out["dwell"]) if "dwell" in out else None
+
+    rho = np.asarray(weighted_autocorrelation(xs, w, nlags=nlags))
+    total_evals = s.grad_evals
+    evals_per_step = total_evals / (num_steps * nbatch)
+    evals = np.arange(nlags) * evals_per_step
+    return ACResult(
+        name=sampler,
+        grad_evals=evals,
+        rho=rho,
+        decay_evals=_decay_time(evals, rho),
+        total_grad_evals=total_evals,
+    )

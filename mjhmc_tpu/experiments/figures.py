@@ -1,0 +1,170 @@
+"""Paper-figure reproduction (SURVEY.md §2.7): autocorrelation overlays,
+spectral-gap curves, 2-D trajectory fans. Artifacts dumped as npz + png.
+
+Run:  python -m mjhmc_tpu.experiments.figures [--out figures_out] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+import jax
+
+from mjhmc_tpu.diagnostics.spectral import (
+    spectral_gap_continuous,
+    spectral_gap_discrete,
+)
+from mjhmc_tpu.experiments.autocorr_experiment import calculate_autocorrelation
+from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell
+from mjhmc_tpu.samplers import ControlHMC, MarkovJumpHMC
+from mjhmc_tpu.samplers.algebraic import (
+    continuous_rate_matrix,
+    discrete_transition_matrix,
+    random_ladder_energies,
+)
+
+
+def fig_autocorr_overlay(out_dir: str, quick: bool = False):
+    """ρ vs cumulative grad evals: MJHMC vs control HMC per distribution."""
+    steps = 400 if quick else 3000
+    nbatch = 64 if quick else 512
+    dists = {
+        "gaussian_2d": (Gaussian(ndims=2, log_conditioning=2.0),
+                        dict(epsilon=1.0, num_leapfrog_steps=5)),
+        "rough_well": (RoughWell(ndims=2),
+                       dict(epsilon=4.0, num_leapfrog_steps=10)),
+        "product_of_t": (ProductOfT(ndims=36, nbasis=36),
+                         dict(epsilon=0.12, num_leapfrog_steps=5)),
+    }
+    fig, axes = plt.subplots(1, len(dists), figsize=(5 * len(dists), 4))
+    artifacts = {}
+    for ax, (name, (dist, kw)) in zip(np.atleast_1d(axes), dists.items()):
+        for sampler, beta in (("mjhmc", 0.1), ("control", 0.2)):
+            res = calculate_autocorrelation(
+                dist, sampler, num_steps=steps, nbatch=nbatch,
+                nlags=min(200, steps // 4), beta=beta,
+                use_cached_init=not quick, **kw,
+            )
+            ax.plot(res.grad_evals, res.rho, label=f"{sampler} (τ={res.decay_evals:.0f})")
+            artifacts[f"{name}_{sampler}_evals"] = res.grad_evals
+            artifacts[f"{name}_{sampler}_rho"] = res.rho
+        ax.set_title(name)
+        ax.set_xlabel("cumulative gradient evaluations")
+        ax.set_ylabel("autocorrelation")
+        ax.axhline(0, color="k", lw=0.5)
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "autocorr_overlay.png"), dpi=120)
+    np.savez(os.path.join(out_dir, "autocorr_overlay.npz"), **artifacts)
+    plt.close(fig)
+
+
+def fig_spectral_gap(out_dir: str, quick: bool = False):
+    """Spectral gap: continuous jump process vs discrete HMC, vs K and β."""
+    ks = [4, 8, 16] if quick else [4, 8, 16, 32, 64]
+    betas = np.linspace(0.05, 1.0, 5 if quick else 12)
+    n_draws = 3 if quick else 10
+
+    gaps_k = {"continuous": [], "discrete": []}
+    for k in ks:
+        gc, gd = [], []
+        for d in range(n_draws):
+            e = random_ladder_energies(jax.random.key(d), k)
+            gc.append(spectral_gap_continuous(continuous_rate_matrix(e, 0.3)))
+            gd.append(spectral_gap_discrete(discrete_transition_matrix(e, 0.3)))
+        gaps_k["continuous"].append(np.mean(gc))
+        gaps_k["discrete"].append(np.mean(gd))
+
+    gaps_b = {"continuous": [], "discrete": []}
+    for b in betas:
+        gc, gd = [], []
+        for d in range(n_draws):
+            e = random_ladder_energies(jax.random.key(100 + d), 16)
+            gc.append(spectral_gap_continuous(continuous_rate_matrix(e, float(b))))
+            gd.append(spectral_gap_discrete(discrete_transition_matrix(e, float(b))))
+        gaps_b["continuous"].append(np.mean(gc))
+        gaps_b["discrete"].append(np.mean(gd))
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    for name, g in gaps_k.items():
+        ax1.plot(ks, g, "o-", label=name)
+    ax1.set_xlabel("ladder size K")
+    ax1.set_ylabel("spectral gap")
+    ax1.set_xscale("log")
+    ax1.legend()
+    for name, g in gaps_b.items():
+        ax2.plot(betas, g, "o-", label=name)
+    ax2.set_xlabel("β")
+    ax2.set_ylabel("spectral gap")
+    ax2.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "spectral_gap.png"), dpi=120)
+    np.savez(
+        os.path.join(out_dir, "spectral_gap.npz"),
+        ks=np.array(ks), betas=betas,
+        cont_k=np.array(gaps_k["continuous"]), disc_k=np.array(gaps_k["discrete"]),
+        cont_b=np.array(gaps_b["continuous"]), disc_b=np.array(gaps_b["discrete"]),
+    )
+    plt.close(fig)
+
+
+def fig_trajectory_fan(out_dir: str, quick: bool = False):
+    """2-D rough-well exploration scatter: MJHMC vs control HMC."""
+    dist = RoughWell(ndims=2)
+    steps = 100 if quick else 400
+    nbatch = 16
+    fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+    artifacts = {}
+    for ax, (name, cls, kw) in zip(
+        axes,
+        [
+            ("mjhmc", MarkovJumpHMC, dict(epsilon=4.0, beta=0.05, num_leapfrog_steps=10)),
+            ("control_hmc", ControlHMC, dict(epsilon=4.0, beta=0.1, num_leapfrog_steps=10)),
+        ],
+    ):
+        s = cls(dist, nbatch=nbatch, seed=0, **kw)
+        out = s.sample(steps)
+        xs = np.asarray(out["x"])  # (T, 2, n)
+        for c in range(nbatch):
+            ax.plot(xs[:, 0, c], xs[:, 1, c], lw=0.3, alpha=0.5)
+        ax.set_title(f"{name}: {steps} iterations, {nbatch} chains")
+        ax.set_xlim(-300, 300)
+        ax.set_ylim(-300, 300)
+        artifacts[name] = xs
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "trajectory_fan.png"), dpi=120)
+    np.savez(os.path.join(out_dir, "trajectory_fan.npz"), **artifacts)
+    plt.close(fig)
+
+
+FIGURES = {
+    "autocorr": fig_autocorr_overlay,
+    "spectral": fig_spectral_gap,
+    "fan": fig_trajectory_fan,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="figures_out")
+    p.add_argument("--quick", action="store_true", help="small/fast versions")
+    p.add_argument("--only", choices=sorted(FIGURES), default=None)
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    for name, fn in FIGURES.items():
+        if args.only and name != args.only:
+            continue
+        print(f"[figures] {name} ...", flush=True)
+        fn(args.out, quick=args.quick)
+    print(f"[figures] wrote {args.out}/")
+
+
+if __name__ == "__main__":
+    main()

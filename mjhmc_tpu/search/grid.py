@@ -1,0 +1,96 @@
+"""Grid sweep over sampler hyperparameters.
+
+The reference drove Spearmint (an external Bayesian-opt process) over
+(ε, β, M) with the autocorrelation decay time as objective (SURVEY.md
+§2.8/§3.5). Dual averaging (samplers.adaptation) replaces it for ε online;
+this module provides the offline sweep for (ε, β, M) jointly: one jitted
+run is compiled once with (ε, β) as *traced* scalars, then evaluated over
+the whole grid with zero recompilation — the TPU-friendly version of a
+hyperparameter search loop. (M is a static trajectory length, so each M
+value compiles once.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjhmc_tpu.diagnostics import weighted_autocorrelation
+from mjhmc_tpu.experiments.autocorr_experiment import _decay_time
+from mjhmc_tpu.models.base import Distribution
+from mjhmc_tpu.samplers import make_hmc_state, make_mj_state
+from mjhmc_tpu.samplers.hmc import hmc_run
+from mjhmc_tpu.samplers.mjhmc import mjhmc_run
+
+
+@dataclasses.dataclass
+class SearchResult:
+    best: dict
+    table: list  # [{epsilon, beta, num_leapfrog_steps, decay_evals}, ...]
+
+
+def grid_search(
+    dist: Distribution,
+    sampler: str = "mjhmc",
+    eps_grid: Sequence[float] = (0.1, 0.3, 1.0),
+    beta_grid: Sequence[float] = (0.05, 0.2, 0.5),
+    m_grid: Sequence[int] = (5,),
+    num_steps: int = 800,
+    nbatch: int = 256,
+    nlags: int = 100,
+    seed: int = 0,
+) -> SearchResult:
+    """Sweep the grid; objective = grad-evals to ρ=1/e (lower is better)."""
+    table = []
+    key0 = jax.random.key(seed)
+
+    for m in m_grid:
+        if sampler == "mjhmc":
+            state0 = make_mj_state(dist, key0, nbatch)
+
+            @jax.jit
+            def run(eps, beta, key, state0=state0, m=m):
+                st, out = mjhmc_run(
+                    dist, state0, key, num_steps, eps, beta, m
+                )
+                rho = weighted_autocorrelation(out["x"], out["dwell"], nlags)
+                return rho, jnp.sum(st.grad_evals)
+
+        elif sampler == "control":
+            state0 = make_hmc_state(dist, key0, nbatch)
+
+            @jax.jit
+            def run(eps, beta, key, state0=state0, m=m):
+                st, out = hmc_run(dist, state0, key, num_steps, eps, beta, m)
+                rho = weighted_autocorrelation(out["x"], None, nlags)
+                return rho, jnp.sum(st.grad_evals)
+
+        else:
+            raise ValueError(sampler)
+
+        for i, (eps, beta) in enumerate(itertools.product(eps_grid, beta_grid)):
+            rho, evals = run(
+                jnp.float32(eps), jnp.float32(beta), jax.random.fold_in(key0, i)
+            )
+            rho = np.asarray(rho)
+            evals_per_step = float(evals) / (num_steps * nbatch)
+            axis = np.arange(nlags) * evals_per_step
+            decay = _decay_time(axis, rho)
+            if not np.isfinite(rho).all():
+                decay = float("inf")
+            table.append(
+                dict(
+                    epsilon=float(eps),
+                    beta=float(beta),
+                    num_leapfrog_steps=int(m),
+                    decay_evals=decay,
+                )
+            )
+
+    best = min(table, key=lambda r: r["decay_evals"])
+    return SearchResult(best=best, table=table)
