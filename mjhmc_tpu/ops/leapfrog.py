@@ -69,6 +69,55 @@ def leapfrog(
     return x_f, v_f, u_f, g_f
 
 
+def masked_leapfrog(
+    potential_and_grad: PotentialAndGrad,
+    x: Array,
+    v: Array,
+    grad: Array,
+    epsilon: Array | float,
+    num_steps_max: int,
+    num_steps_per_chain: Array,
+    u0: Array | None = None,
+    unroll: int = 1,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Leapfrog with per-chain trajectory lengths (fixed compute budget).
+
+    Integrates ``num_steps_max`` steps for every chain; chain ``i`` freezes
+    after its own ``num_steps_per_chain[i]`` steps (masked update — the TPU
+    form of data-dependent trajectory lengths, used by ChEES adaptation).
+
+    ``u0``: cached U(x) at entry (avoids one eval); computed if omitted.
+    Returns (x', v', U', g', steps_taken) where steps_taken counts the
+    unmasked (algorithmic) integrator steps per chain.
+    """
+    eps = jnp.asarray(epsilon, x.dtype)
+    m_i = num_steps_per_chain
+
+    def body(carry, i):
+        x, v, g, u = carry
+        active = (i < m_i)[None, :]
+        v_half = v - 0.5 * eps * g
+        x_new = x + eps * v_half
+        u_new, g_new = potential_and_grad(x_new)
+        v_new = v_half - 0.5 * eps * g_new
+        x = jnp.where(active, x_new, x)
+        v = jnp.where(active, v_new, v)
+        g = jnp.where(active, g_new, g)
+        u = jnp.where(active[0], u_new, u)
+        return (x, v, g, u), None
+
+    if u0 is None:
+        u0 = potential_and_grad(x)[0]  # needed for frozen chains' U
+    (x_f, v_f, g_f, u_f), _ = lax.scan(
+        body,
+        (x, v, grad, u0),
+        jnp.arange(num_steps_max),
+        unroll=unroll,
+    )
+    steps = jnp.minimum(m_i, num_steps_max).astype(jnp.int32)
+    return x_f, v_f, u_f, g_f, steps
+
+
 def kinetic_energy(v: Array) -> Array:
     """½‖v‖² per chain: (ndims, nbatch) → (nbatch,)."""
     return 0.5 * jnp.sum(v * v, axis=0)
