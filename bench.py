@@ -3,10 +3,12 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Target (BASELINE.json:5): ≥ 1,000,000 leapfrog steps/sec/chip.
 
-Counting is conservative: only the *algorithmic forward* trajectory steps
-(nbatch × M per iteration) are credited, even though each iteration also
-integrates the fused backward half-batch (see samplers/mjhmc.py docstring);
-hardware integrator throughput is ~2× the reported figure.
+Uses the fused Pallas engine (ops/pallas_mjhmc.py — whole sampling run in
+one kernel, on-core PRNG, zero per-step dispatch) with the XLA scan path
+as fallback. Counting is conservative: only the *algorithmic forward*
+trajectory steps (nbatch × M per iteration) are credited, even though each
+iteration also integrates the fused backward half-batch for the cache
+rebuild; hardware integrator throughput is ~2× the reported figure.
 """
 
 import json
@@ -21,11 +23,32 @@ from mjhmc_tpu.samplers import make_mj_state
 from mjhmc_tpu.samplers.mjhmc import mjhmc_run
 
 
-def main():
-    cfg = BENCHMARK_CONFIGS["rough_well"]
+def bench_pallas(cfg, steps_per_call=2000, trials=3):
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+    dist = cfg.make_distribution()
+    eng = PallasMJHMC(
+        dist,
+        epsilon=cfg.epsilon,
+        beta=cfg.beta,
+        num_leapfrog_steps=cfg.num_leapfrog_steps,
+        nbatch=cfg.nbatch,
+        seed=0,
+    )
+    out = eng.run(steps_per_call)
+    float(out.w.sum())  # force host materialization (async tunnel)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = eng.run(steps_per_call)
+        float(out.w.sum())
+        best = min(best, time.perf_counter() - t0)
+    return steps_per_call * eng.nbatch * cfg.num_leapfrog_steps / best
+
+
+def bench_xla(cfg, steps_per_call=1000, trials=3):
     dist = cfg.make_distribution()
     nbatch, m = cfg.nbatch, cfg.num_leapfrog_steps
-    steps_per_call = 1000
 
     state = make_mj_state(dist, jax.random.key(0), nbatch)
 
@@ -50,15 +73,23 @@ def main():
     float(state.dwell_sum.sum())
 
     best = float("inf")
-    for i in range(3):
+    for i in range(trials):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         s2, _ = run(state, k)
         float(s2.dwell_sum.sum())
         best = min(best, time.perf_counter() - t0)
 
-    leapfrog_steps = steps_per_call * nbatch * m
-    rate = leapfrog_steps / best
+    return steps_per_call * nbatch * m / best
+
+
+def main():
+    cfg = BENCHMARK_CONFIGS["rough_well"]
+    try:
+        rate = bench_pallas(cfg)
+    except Exception as e:  # no TPU / unsupported energy → XLA path
+        print(f"# pallas engine unavailable ({type(e).__name__}), XLA path", file=sys.stderr)
+        rate = bench_xla(cfg)
     print(
         json.dumps(
             {

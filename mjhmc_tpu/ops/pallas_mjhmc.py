@@ -1,0 +1,396 @@
+"""Fused Pallas MJHMC engine — the speed-of-light path for small-state
+energies (SURVEY.md §7 hard part #2: ≥1M leapfrog steps/s/chip on a 2-D
+state; the XLA scan path already exceeds it ~700×, this kernel removes the
+remaining per-op dispatch overhead).
+
+One ``pallas_call`` executes the ENTIRE sampling run: the steps-loop, both
+fused leapfrog trajectories (forward + backward for the cache rebuild),
+transition rates, Gumbel-max clock selection, momentum refresh, the cache
+state machine, dwell-weighted moment accumulators and eval counters — all
+in VMEM with the on-core PRNG (`pltpu.prng_random_bits`). Zero HBM traffic
+per step beyond the initial/final state, zero kernel launches per step.
+
+Scope: elementwise-separable energies (rough well, diagonal Gaussian) —
+exactly the distributions of the headline benchmarks (BASELINE configs
+1, 2, 4). Heavier energies (product-of-t, sparse coding) stay on the XLA
+path where the MXU matmul dominates and fusion is already optimal.
+
+Layout: chains are reshaped (d, n) → (d, 8, n/8) so the (sublane, lane)
+tile is fully occupied even for d=2 (the plain (2, n) layout wastes 6/8
+sublanes). n must be a multiple of 1024; wrappers pad by running extra
+chains (independent chains — more samples, no bias).
+
+Semantics match ``samplers.mjhmc.mjhmc_step`` exactly except the PRNG
+stream (on-core PRNG vs threefry), so agreement is distributional; the
+jnp path remains the bit-reproducible reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mjhmc_tpu.models.gaussian import Gaussian
+from mjhmc_tpu.models.rough_well import RoughWell
+
+Array = jax.Array
+
+LOG_RATE_MAX = 25.0
+NEG_INF = -1e30
+_SUBLANES = 8
+_LANES = 128
+
+
+# --------------------------------------------------------------------------
+# static energy specs: emit per-dim gradient / summed potential jnp code
+# --------------------------------------------------------------------------
+class EnergySpec:
+    """Inline energy codegen for the kernel (static params baked in)."""
+
+    def du(self, x):  # (d, S, L) -> (d, S, L)
+        raise NotImplementedError
+
+    def u_sum(self, x):  # (d, S, L) -> (S, L)
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class RoughWellSpec(EnergySpec):
+    scale1: float
+    scale2: float
+
+    def du(self, x):
+        return x * (1.0 / self.scale1**2) - jnp.sin(x * (1.0 / self.scale2)) * (
+            1.0 / self.scale2
+        )
+
+    def u_sum(self, x):
+        return jnp.sum(
+            x * x * (0.5 / self.scale1**2) + jnp.cos(x * (1.0 / self.scale2)),
+            axis=0,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianSpec(EnergySpec):
+    precisions: tuple  # per-dim 1/σ²
+
+    def _prec(self, x):
+        p = jnp.asarray(np.asarray(self.precisions, np.float32))
+        return p[:, None, None]
+
+    def du(self, x):
+        return x * self._prec(x)
+
+    def u_sum(self, x):
+        return 0.5 * jnp.sum(x * x * self._prec(x), axis=0)
+
+
+def energy_spec_for(dist) -> EnergySpec:
+    if isinstance(dist, RoughWell):
+        return RoughWellSpec(dist.scale1, dist.scale2)
+    if isinstance(dist, Gaussian):
+        return GaussianSpec(tuple(float(v) for v in 1.0 / dist.variances))
+    raise TypeError(
+        f"no fused Pallas energy for {type(dist).__name__}; use the XLA path"
+    )
+
+
+# --------------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------------
+def _uniform(shape):
+    """U(0,1) from raw PRNG bits, strictly positive (safe for log).
+
+    ``prng_random_bits`` yields *signed* int32 on TPU; a plain ``>>`` would
+    sign-extend, so use a logical shift for the top 24 bits.
+    """
+    bits = pltpu.prng_random_bits(shape)
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+        1.0 / (1 << 24)
+    )
+    return u + (0.5 / (1 << 24))
+
+
+def _gumbel(shape):
+    return -jnp.log(-jnp.log(_uniform(shape)))
+
+
+def _normal(shape):
+    """Box-Muller from two uniforms."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _mjhmc_kernel(
+    spec: EnergySpec,
+    num_steps: int,
+    num_leapfrog: int,
+    # refs:
+    seed_ref,
+    eps_ref,
+    beta_ref,
+    x_ref,
+    v_ref,
+    g_ref,
+    u_ref,
+    hback_ref,
+    valid_ref,
+    # outs:
+    xo_ref,
+    vo_ref,
+    go_ref,
+    uo_ref,
+    hbacko_ref,
+    valido_ref,
+    w_ref,
+    wx_ref,
+    wx2_ref,
+    evals_ref,
+):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    eps = eps_ref[0]
+    beta = beta_ref[0]
+    m = num_leapfrog
+
+    def leapfrog_pair(x, vf, gf, vb, gb):
+        """M steps forward from (x, vf) and backward from (x, vb=-v)."""
+        xf, xb = x, x
+        for _ in range(m):
+            vf_h = vf - (0.5 * eps) * gf
+            xf = xf + eps * vf_h
+            gf = spec.du(xf)
+            vf = vf_h - (0.5 * eps) * gf
+
+            vb_h = vb - (0.5 * eps) * gb
+            xb = xb + eps * vb_h
+            gb = spec.du(xb)
+            vb = vb_h - (0.5 * eps) * gb
+        return xf, vf, gf, xb, vb, gb
+
+    def halfsq(v):
+        return 0.5 * jnp.sum(v * v, axis=0)
+
+    def body(_, carry):
+        x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
+        h_cur = u + halfsq(v)
+
+        xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
+        uf = spec.u_sum(xf)
+        h_l = uf + halfsq(vf)
+        h_b_fresh = spec.u_sum(xb) + halfsq(vb)
+        h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
+
+        def log_rate(h_to):
+            raw = -0.5 * (h_to - h_cur)
+            ok = jnp.abs(h_to) < 1e30  # finite guard (no isfinite on ints)
+            ok = ok & (h_to == h_to)  # NaN guard
+            return jnp.where(ok, jnp.minimum(raw, LOG_RATE_MAX), NEG_INF)
+
+        log_gl = log_rate(h_l)
+        log_glf = log_rate(h_b)
+        gamma_l = jnp.exp(jnp.maximum(log_gl, NEG_INF))
+        gamma_f = jnp.maximum(0.0, jnp.exp(log_glf) - gamma_l)
+        total = gamma_l + gamma_f + beta
+        dwell = 1.0 / total
+
+        s_shape = h_cur.shape
+        log_gf = jnp.where(gamma_f > 0.0, jnp.log(gamma_f), NEG_INF)
+        s0 = log_gl + _gumbel(s_shape)
+        s1 = log_gf + _gumbel(s_shape)
+        s2 = jnp.log(beta) + _gumbel(s_shape)
+        is_l = (s0 >= s1) & (s0 >= s2)
+        is_f = (~is_l) & (s1 >= s2)
+        is_r = (~is_l) & (~is_f)
+
+        # accumulate Rao-Blackwell weighted moments of the dwelled-at state
+        w = w + dwell
+        wx = wx + dwell[None] * x
+        wx2 = wx2 + dwell[None] * x * x
+        evals = evals + jnp.float32(m) + jnp.float32(m) * (1.0 - valid)
+
+        v_fresh = _normal(x.shape)
+        bl = is_l[None]
+        bf = is_f[None]
+        x = jnp.where(bl, xf, x)
+        v = jnp.where(bl, vf, jnp.where(bf, -v, v_fresh))
+        g = jnp.where(bl, gf, g)
+        u = jnp.where(is_l, uf, u)
+        h_back = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
+        valid = jnp.where(is_r, 0.0, 1.0)
+        return (x, v, g, u, h_back, valid, w, wx, wx2, evals)
+
+    x = x_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
+    u = u_ref[:]
+    h_back = hback_ref[:]
+    valid = valid_ref[:]
+    zeros_s = jnp.zeros_like(u)
+    zeros_d = jnp.zeros_like(x)
+
+    (x, v, g, u, h_back, valid, w, wx, wx2, evals) = jax.lax.fori_loop(
+        0,
+        num_steps,
+        body,
+        (x, v, g, u, h_back, valid, zeros_s, zeros_d, zeros_d, zeros_s),
+    )
+
+    xo_ref[:] = x
+    vo_ref[:] = v
+    go_ref[:] = g
+    uo_ref[:] = u
+    hbacko_ref[:] = h_back
+    valido_ref[:] = valid
+    w_ref[:] = w
+    wx_ref[:] = wx
+    wx2_ref[:] = wx2
+    evals_ref[:] = evals
+
+
+class PallasRunOut(NamedTuple):
+    x: Array
+    v: Array
+    grad: Array
+    u: Array
+    h_back: Array
+    back_valid: Array
+    w: Array  # (S, L) Σ dwell per chain
+    wx: Array  # (d, S, L)
+    wx2: Array  # (d, S, L)
+    evals: Array  # (S, L) algorithmic grad evals (float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "num_steps", "num_leapfrog", "lane_block")
+)
+def pallas_mjhmc_run(
+    spec: EnergySpec,
+    x: Array,  # (d, 8, L)
+    v: Array,
+    g: Array,
+    u: Array,  # (8, L)
+    h_back: Array,
+    back_valid: Array,  # (8, L) float 0/1
+    seed: Array,  # () int32
+    epsilon: Array,  # () f32
+    beta: Array,  # () f32
+    num_steps: int,
+    num_leapfrog: int,
+    lane_block: int = 2048,
+) -> PallasRunOut:
+    d, s, l = x.shape
+    assert s == _SUBLANES and l % _LANES == 0
+    lb = min(lane_block, l)
+    while l % lb:
+        lb //= 2
+    grid = (l // lb,)
+
+    def dspec():
+        return pl.BlockSpec((d, s, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((s, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_mjhmc_kernel, spec, num_steps, num_leapfrog)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem] + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        out_specs=(
+            dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
+            sspec(), dspec(), dspec(), sspec(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+        ),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(epsilon, jnp.float32).reshape(1),
+        jnp.asarray(beta, jnp.float32).reshape(1),
+        x, v, g, u, h_back, back_valid,
+    )
+    return PallasRunOut(*out)
+
+
+# --------------------------------------------------------------------------
+# engine wrapper
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class PallasMJHMC:
+    """Drop-in high-throughput MJHMC engine for fused-energy distributions.
+
+    ``nbatch`` is rounded up to a multiple of 1024 (extra independent
+    chains). Statistical results (dwell-weighted moments) are validated
+    against the XLA reference path in tests.
+    """
+
+    distribution: object
+    epsilon: float = 1.0
+    beta: float = 0.1
+    num_leapfrog_steps: int = 10
+    nbatch: int = 10_240
+    seed: int = 0
+
+    def __post_init__(self):
+        self.spec = energy_spec_for(self.distribution)
+        n = ((self.nbatch + 1023) // 1024) * 1024
+        self.nbatch = n
+        d = self.distribution.ndims
+        key = jax.random.key(self.seed)
+        kx, kv = jax.random.split(key)
+        x = self.distribution.init_x(kx, n)
+        v = jax.random.normal(kv, x.shape, jnp.float32)
+        u, g = self.distribution.potential_and_grad(x)
+        s, l = _SUBLANES, n // _SUBLANES
+        self.x = x.reshape(d, s, l)
+        self.v = v.reshape(d, s, l)
+        self.g = g.reshape(d, s, l)
+        self.u = u.reshape(s, l)
+        self.h_back = jnp.zeros((s, l), jnp.float32)
+        self.back_valid = jnp.zeros((s, l), jnp.float32)
+        self._step_seed = np.int32(self.seed * 7919 + 13)
+
+    def run(self, num_steps: int) -> PallasRunOut:
+        out = pallas_mjhmc_run(
+            self.spec,
+            self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
+            jnp.int32(self._step_seed),
+            jnp.float32(self.epsilon),
+            jnp.float32(self.beta),
+            num_steps,
+            self.num_leapfrog_steps,
+        )
+        self._step_seed = np.int32((int(self._step_seed) * 6364136223846793005 + 1442695040888963407) % (2**31 - 1))
+        (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
+            out.x, out.v, out.grad, out.u, out.h_back, out.back_valid
+        )
+        return out
+
+    @staticmethod
+    def moments(out: PallasRunOut):
+        """Dwell-weighted (mean, var) per dim from a run's accumulators."""
+        w = jnp.sum(out.w)
+        mean = jnp.sum(out.wx, axis=(1, 2)) / w
+        var = jnp.sum(out.wx2, axis=(1, 2)) / w - mean * mean
+        return mean, var

@@ -1,0 +1,73 @@
+"""Fused Pallas MJHMC engine tests.
+
+Statistical-agreement tests run only on real TPU hardware (the kernel is
+Mosaic-compiled; tests/ otherwise run on the forced-CPU platform). On CPU
+we still cover the host-side plumbing: energy-spec codegen, layout
+reshapes, and unsupported-energy erroring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell
+from mjhmc_tpu.ops.pallas_mjhmc import (
+    GaussianSpec,
+    RoughWellSpec,
+    energy_spec_for,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def test_energy_spec_codegen_matches_distribution():
+    """Spec-emitted u/du (on (d,8,L) layout) == distribution's fused pg."""
+    for dist in (RoughWell(ndims=2), Gaussian(ndims=4, log_conditioning=2.0)):
+        spec = energy_spec_for(dist)
+        n = 32
+        x = dist.init_x(jax.random.key(0), n)
+        u_ref, g_ref = dist.potential_and_grad(x)
+        x3 = x.reshape(dist.ndims, 8, n // 8)
+        u3 = spec.u_sum(x3).reshape(n)
+        g3 = spec.du(x3).reshape(dist.ndims, n)
+        np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_unsupported_energy_raises():
+    with pytest.raises(TypeError):
+        energy_spec_for(ProductOfT(ndims=8, nbasis=8))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_pallas_engine_matches_xla_path_statistically():
+    """Dwell mass, eval counts, operator mix and moments must agree with
+    the reference XLA sampler within MC error (different PRNG streams)."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.samplers import MarkovJumpHMC
+
+    dist = RoughWell(ndims=2)
+    steps = 300
+    eng = PallasMJHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=10, nbatch=4096, seed=0
+    )
+    out = eng.run(steps)
+    dwell_p = float(out.w.sum()) / (eng.nbatch * steps)
+    evals_p = float(out.evals.mean())
+
+    ref = MarkovJumpHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=10, nbatch=4096, seed=1
+    )
+    rout = ref.sample(steps)
+    dwell_x = float(np.asarray(rout["dwell"]).mean())
+    evals_x = float(np.asarray(ref.state.grad_evals).mean())
+
+    assert abs(dwell_p - dwell_x) < 0.05 * dwell_x
+    assert abs(evals_p - evals_x) < 0.05 * evals_x
+
+    mean_p, var_p = PallasMJHMC.moments(out)
+    xs = np.asarray(rout["x"])
+    w = np.asarray(rout["dwell"])[:, None, :]
+    var_x = (w * xs**2).sum(axis=(0, 2)) / w.sum()
+    np.testing.assert_allclose(np.asarray(var_p), var_x, rtol=0.1)
