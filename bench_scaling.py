@@ -1,0 +1,105 @@
+"""Scaling-efficiency benchmark: chains sharded over 1 → N devices.
+
+BASELINE target: ≥90% samples/s scaling efficiency at 1 chip → 1 host →
+≥2 hosts. The per-step sampler path is collective-free under sharding
+(tests/test_collectives.py proves it at the HLO level), so scaling is
+limited only by dispatch overhead amortization.
+
+On this image only one physical TPU chip is reachable, so by default this
+script measures the same code path on a virtual CPU device mesh (the
+multi-chip program structure is identical — GSPMD partitions the same
+HLO); on a real pod slice it runs unchanged on the TPU mesh. Prints one
+JSON line per mesh size plus a summary efficiency figure.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--chains-per-device", type=int, default=2048)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
+    args = p.parse_args(argv)
+
+    max_dev = max(args.devices)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max_dev}"
+        ).strip()
+
+    import jax
+
+    if args.platform == "cpu" or (
+        args.platform == "auto" and len(jax.devices()) < max_dev
+    ):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.config import BENCHMARK_CONFIGS
+    from mjhmc_tpu.parallel.mesh import make_chain_mesh, shard_chain_pytree
+    from mjhmc_tpu.samplers import make_mj_state
+    from mjhmc_tpu.samplers.mjhmc import mjhmc_run
+
+    cfg = BENCHMARK_CONFIGS["rough_well"]
+    dist = cfg.make_distribution()
+    rates = {}
+    for nd in args.devices:
+        if nd > len(jax.devices()):
+            print(f"# skipping {nd} devices (only {len(jax.devices())})",
+                  file=sys.stderr)
+            continue
+        mesh = make_chain_mesh(nd)
+        nbatch = args.chains_per_device * nd  # weak scaling
+        st = shard_chain_pytree(
+            make_mj_state(dist, jax.random.key(0), nbatch), mesh
+        )
+        run = jax.jit(
+            lambda s, k: mjhmc_run(
+                dist, s, k, args.steps, cfg.epsilon, cfg.beta,
+                cfg.num_leapfrog_steps, 2, "stats",
+            )
+        )
+        key = jax.random.key(1)
+        s, _ = run(st, key)
+        float(s.dwell_sum.sum())
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            s, _ = run(st, jax.random.fold_in(key, i))
+            float(s.dwell_sum.sum())
+            best = min(best, time.perf_counter() - t0)
+        rate = args.steps * nbatch * cfg.num_leapfrog_steps / best
+        rates[nd] = rate
+        print(json.dumps({
+            "metric": "leapfrog_steps_per_sec",
+            "devices": nd,
+            "chains": nbatch,
+            "value": rate,
+            "unit": "steps/s",
+        }))
+
+    if 1 in rates and len(rates) > 1:
+        nd = max(rates)
+        eff = rates[nd] / (rates[1] * nd)
+        print(json.dumps({
+            "metric": "weak_scaling_efficiency",
+            "devices": nd,
+            "value": eff,
+            "unit": "fraction",
+            "vs_baseline": eff / 0.9,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

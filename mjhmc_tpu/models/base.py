@@ -47,7 +47,13 @@ class Distribution:
 
     # ---------------------------------------------------------------- energy
     def potential(self, x: Array) -> Array:
-        """U(x). ``x``: (ndims, nbatch) → (nbatch,)."""
+        """U(x). ``x``: (..., ndims, nbatch) → (..., nbatch).
+
+        Rank-polymorphic by contract: the state axis is second-to-last and
+        the chain axis last, so leading batch axes (e.g. MJHMC's stacked
+        forward/backward pair) broadcast through without disturbing the
+        chain axis's mesh sharding.
+        """
         raise NotImplementedError
 
     def grad_potential(self, x: Array) -> Array:

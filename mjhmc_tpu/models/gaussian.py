@@ -47,11 +47,11 @@ class Gaussian(Distribution):
         return jnp.asarray(1.0 / self.variances)[:, None]
 
     def potential(self, x: Array) -> Array:
-        return 0.5 * jnp.sum(x * x * self._prec(), axis=0)
+        return 0.5 * jnp.sum(x * x * self._prec(), axis=-2)
 
     def potential_and_grad(self, x: Array):
         g = x * self._prec()
-        return 0.5 * jnp.sum(x * g, axis=0), g
+        return 0.5 * jnp.sum(x * g, axis=-2), g
 
     def init_x(self, key: Array, nbatch: int) -> Array:
         std = jnp.sqrt(jnp.asarray(self.variances))[:, None]

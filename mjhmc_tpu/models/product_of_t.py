@@ -55,18 +55,18 @@ class ProductOfT(Distribution):
 
     def potential(self, x: Array) -> Array:
         w = self.basis
-        y = jnp.dot(w.T, x, preferred_element_type=jnp.float32)  # (nbasis, n)
+        y = jnp.einsum("dk,...dn->...kn", w, x, preferred_element_type=jnp.float32)
         nu = self.nu
-        return 0.5 * (nu + 1.0) * jnp.sum(jnp.log1p(y * y / nu), axis=0)
+        return 0.5 * (nu + 1.0) * jnp.sum(jnp.log1p(y * y / nu), axis=-2)
 
     def potential_and_grad(self, x: Array):
         w = self.basis
-        y = jnp.dot(w.T, x, preferred_element_type=jnp.float32)
+        y = jnp.einsum("dk,...dn->...kn", w, x, preferred_element_type=jnp.float32)
         nu = self.nu
-        u = 0.5 * (nu + 1.0) * jnp.sum(jnp.log1p(y * y / nu), axis=0)
+        u = 0.5 * (nu + 1.0) * jnp.sum(jnp.log1p(y * y / nu), axis=-2)
         # dU/dy_i = (nu+1) * y_i / (nu + y_i^2);  dU/dx = W @ dU/dy
         dudy = (nu + 1.0) * y / (nu + y * y)
-        g = jnp.dot(w, dudy, preferred_element_type=jnp.float32)
+        g = jnp.einsum("dk,...kn->...dn", w, dudy, preferred_element_type=jnp.float32)
         return u, g
 
     def init_x(self, key: Array, nbatch: int) -> Array:

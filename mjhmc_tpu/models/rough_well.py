@@ -34,15 +34,15 @@ class RoughWell(Distribution):
 
     def potential(self, x: Array) -> Array:
         s1, s2 = self.scale1, self.scale2
-        return jnp.sum(x * x, axis=0) / (2.0 * s1 * s1) + jnp.sum(
-            jnp.cos(x / s2), axis=0
+        return jnp.sum(x * x, axis=-2) / (2.0 * s1 * s1) + jnp.sum(
+            jnp.cos(x / s2), axis=-2
         )
 
     def potential_and_grad(self, x: Array):
         s1, s2 = self.scale1, self.scale2
         inv_s1sq = 1.0 / (s1 * s1)
         c = jnp.cos(x / s2)
-        u = 0.5 * inv_s1sq * jnp.sum(x * x, axis=0) + jnp.sum(c, axis=0)
+        u = 0.5 * inv_s1sq * jnp.sum(x * x, axis=-2) + jnp.sum(c, axis=-2)
         g = x * inv_s1sq - jnp.sin(x / s2) / s2
         return u, g
 

@@ -109,20 +109,22 @@ class SparseCoding(Distribution):
 
     def potential(self, a: Array) -> Array:
         phi = self.dictionary
-        resid = self.patch - jnp.dot(phi, a, preferred_element_type=jnp.float32)
-        sparse = self.lam * jnp.sum(self._smooth_l1(a), axis=0)
-        fit = 0.5 / (self.sigma**2) * jnp.sum(resid * resid, axis=0)
+        recon = jnp.einsum("pb,...bn->...pn", phi, a, preferred_element_type=jnp.float32)
+        resid = self.patch - recon
+        sparse = self.lam * jnp.sum(self._smooth_l1(a), axis=-2)
+        fit = 0.5 / (self.sigma**2) * jnp.sum(resid * resid, axis=-2)
         return sparse + fit
 
     def potential_and_grad(self, a: Array):
         phi = self.dictionary
-        resid = self.patch - jnp.dot(phi, a, preferred_element_type=jnp.float32)
+        recon = jnp.einsum("pb,...bn->...pn", phi, a, preferred_element_type=jnp.float32)
+        resid = self.patch - recon
         s = jnp.sqrt(a * a + self.smooth_eps)
-        u = self.lam * jnp.sum(s, axis=0) + 0.5 / (self.sigma**2) * jnp.sum(
-            resid * resid, axis=0
+        u = self.lam * jnp.sum(s, axis=-2) + 0.5 / (self.sigma**2) * jnp.sum(
+            resid * resid, axis=-2
         )
-        g = self.lam * (a / s) - (1.0 / self.sigma**2) * jnp.dot(
-            phi.T, resid, preferred_element_type=jnp.float32
+        g = self.lam * (a / s) - (1.0 / self.sigma**2) * jnp.einsum(
+            "pb,...pn->...bn", phi, resid, preferred_element_type=jnp.float32
         )
         return u, g
 

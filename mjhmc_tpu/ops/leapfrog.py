@@ -62,7 +62,8 @@ def leapfrog(
         return (x_new, v_new, g_new, u_new), None
 
     # dummy initial U (overwritten by first step); num_steps >= 1 always
-    u0 = jnp.zeros(x.shape[1:], x.dtype)
+    # (shape computed statically — never slice the possibly-sharded state axis)
+    u0 = jnp.zeros(x.shape[:-2] + x.shape[-1:], x.dtype)
     (x_f, v_f, g_f, u_f), _ = lax.scan(
         body, (x, v, grad, u0), None, length=num_steps, unroll=unroll
     )
@@ -119,8 +120,14 @@ def masked_leapfrog(
 
 
 def kinetic_energy(v: Array) -> Array:
-    """½‖v‖² per chain: (ndims, nbatch) → (nbatch,)."""
-    return 0.5 * jnp.sum(v * v, axis=0)
+    """½‖v‖² per chain: (..., ndims, nbatch) → (..., nbatch).
+
+    Rank-polymorphic (reduces the second-to-last axis) so stacked batches —
+    e.g. MJHMC's fused forward/backward pair stacked on a leading axis —
+    keep the chain axis last and therefore keep its mesh sharding aligned
+    (no collectives materialize in the hot loop; see tests/test_collectives).
+    """
+    return 0.5 * jnp.sum(v * v, axis=-2)
 
 
 def total_energy(u: Array, v: Array) -> Array:

@@ -40,29 +40,43 @@ def model_sharded_potential_and_grad(dist: SparseCoding, mesh: Mesh):
     lam, seps = dist.lam, dist.smooth_eps
 
     def local_pg(phi_s: Array, patch_r: Array, a_s: Array):
-        # partial reconstruction, reduced across basis shards
-        recon = jnp.dot(phi_s, a_s, preferred_element_type=jnp.float32)
+        # partial reconstruction, reduced across basis shards; a_s may carry
+        # leading batch axes (rank-polymorphic energy contract, models.base)
+        recon = jnp.einsum(
+            "pb,...bn->...pn", phi_s, a_s, preferred_element_type=jnp.float32
+        )
         recon = jax.lax.psum(recon, "model")
         resid = patch_r - recon  # replicated over model
         s = jnp.sqrt(a_s * a_s + seps)
-        u_local = lam * jnp.sum(s, axis=0)  # shard's sparsity share
+        u_local = lam * jnp.sum(s, axis=-2)  # shard's sparsity share
         u_sparse = jax.lax.psum(u_local, "model")
-        u_fit = 0.5 * inv_sig2 * jnp.sum(resid * resid, axis=0)
+        u_fit = 0.5 * inv_sig2 * jnp.sum(resid * resid, axis=-2)
         u = u_sparse + u_fit
-        g_s = lam * (a_s / s) - inv_sig2 * jnp.dot(
-            phi_s.T, resid, preferred_element_type=jnp.float32
+        g_s = lam * (a_s / s) - inv_sig2 * jnp.einsum(
+            "pb,...pn->...bn", phi_s, resid, preferred_element_type=jnp.float32
         )
         return u, g_s
 
-    pg = jax.shard_map(
-        local_pg,
-        mesh=mesh,
-        in_specs=(P(None, "model"), P(None, None), P("model", "chains")),
-        out_specs=(P("chains"), P("model", "chains")),
-    )
+    def _pg_for_rank(lead: int):
+        lead_spec = (None,) * lead
+        return jax.shard_map(
+            local_pg,
+            mesh=mesh,
+            in_specs=(
+                P(None, "model"),
+                P(None, None),
+                P(*lead_spec, "model", "chains"),
+            ),
+            out_specs=(P(*lead_spec, "chains"), P(*lead_spec, "model", "chains")),
+        )
+
+    cache: dict = {}
 
     def potential_and_grad(a: Array):
-        return pg(phi, patch, a)
+        lead = a.ndim - 2
+        if lead not in cache:
+            cache[lead] = _pg_for_rank(lead)
+        return cache[lead](phi, patch, a)
 
     return potential_and_grad
 

@@ -82,17 +82,20 @@ def mjhmc_step(
 
     h_cur = total_energy(u, v)
 
-    # ---- fused forward + backward trajectories on the doubled batch -------
-    x2 = jnp.concatenate([x, x], axis=1)
-    v2 = jnp.concatenate([v, -v], axis=1)
-    g2 = jnp.concatenate([g, g], axis=1)
+    # ---- fused forward + backward trajectories, stacked on a NEW leading
+    # axis (never concatenated along the chain axis: the chain axis is the
+    # sharded one, and concatenating it would force GSPMD to all-gather in
+    # the hot loop — tests/test_collectives.py pins this)
+    x2 = jnp.stack([x, x])
+    v2 = jnp.stack([v, -v])
+    g2 = jnp.stack([g, g])
     x2f, v2f, u2f, g2f = leapfrog(
         dist.potential_and_grad, x2, v2, g2, epsilon, m, unroll=unroll
     )
-    x_l, v_l = x2f[:, :n], v2f[:, :n]
-    u_l, g_l = u2f[:n], g2f[:, :n]
+    x_l, v_l = x2f[0], v2f[0]
+    u_l, g_l = u2f[0], g2f[0]
     h_l = total_energy(u_l, v_l)  # H(Lζ)
-    h_back_fresh = total_energy(u2f[n:], v2f[:, n:])  # H(L(Fζ)) = H(L⁻¹ζ)
+    h_back_fresh = total_energy(u2f[1], v2f[1])  # H(L(Fζ)) = H(L⁻¹ζ)
 
     cache_err = jnp.where(
         state.back_valid, jnp.abs(state.h_back - h_back_fresh), 0.0

@@ -1,0 +1,78 @@
+"""Explicit-collective paths + the collective-free hot-loop guarantee."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjhmc_tpu.models import RoughWell
+from mjhmc_tpu.inference.smc import systematic_resample
+from mjhmc_tpu.parallel.collectives import (
+    distributed_systematic_resample,
+    sharded_moments,
+)
+from mjhmc_tpu.parallel.mesh import make_chain_mesh, shard_chain_pytree
+from mjhmc_tpu.samplers import make_mj_state
+from mjhmc_tpu.samplers.mjhmc import mjhmc_run
+
+
+def test_sharded_moments_match_dense():
+    mesh = make_chain_mesh(8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.5, 2.0, 64).astype(np.float32))
+    mean, var = jax.jit(lambda x, w: sharded_moments(x, w, mesh))(x, w)
+    wx = np.asarray(w)
+    xs = np.asarray(x)
+    m_ref = (wx * xs).sum(axis=1) / wx.sum()
+    v_ref = (wx * xs**2).sum(axis=1) / wx.sum() - m_ref**2
+    np.testing.assert_allclose(np.asarray(mean), m_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), v_ref, rtol=1e-4)
+
+
+def test_distributed_resample_equals_global():
+    """shard_map resampling == single-device systematic resampling."""
+    mesh = make_chain_mesh(8)
+    rng = np.random.default_rng(1)
+    n = 128
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    log_w = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    key = jax.random.key(5)
+    x_global = systematic_resample(key, x, log_w)
+    x_dist = jax.jit(
+        lambda k, x, lw: distributed_systematic_resample(k, x, lw, mesh)
+    )(key, x, log_w)
+    np.testing.assert_allclose(
+        np.asarray(x_dist), np.asarray(x_global), rtol=1e-6
+    )
+
+
+def test_sampler_hot_loop_is_collective_free():
+    """SURVEY.md §7: the per-step sampler path must contain NO collectives
+    when chains are sharded — that is what preserves ≥90% scaling. Checked
+    at the compiler level: the optimized HLO of a sharded 8-device MJHMC
+    run must not contain any cross-device communication ops."""
+    dist = RoughWell(ndims=2)
+    mesh = make_chain_mesh(8)
+    st = shard_chain_pytree(make_mj_state(dist, jax.random.key(0), 128), mesh)
+    fn = jax.jit(lambda s, k: mjhmc_run(dist, s, k, 5, 1.0, 0.1, 5, 1, "stats"))
+    compiled = fn.lower(st, jax.random.key(1)).compile()
+    hlo = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+               "reduce-scatter"):
+        assert op not in hlo, f"sampler hot loop contains {op}"
+
+
+def test_adaptive_loop_has_exactly_cross_chain_reduction():
+    """The adaptive warmup DOES reduce across chains (accept-stat mean) —
+    the one collective allowed in the loop (SURVEY.md §5.8)."""
+    from mjhmc_tpu.samplers.adaptation import adaptive_mjhmc_run, da_init
+
+    dist = RoughWell(ndims=2)
+    mesh = make_chain_mesh(8)
+    st = shard_chain_pytree(make_mj_state(dist, jax.random.key(0), 128), mesh)
+    fn = jax.jit(
+        lambda s, d, k: adaptive_mjhmc_run(dist, s, d, k, 5, 0.1, 5)
+    )
+    compiled = fn.lower(st, da_init(1.0), jax.random.key(1)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo
