@@ -98,6 +98,17 @@ def main(argv=None):
             "unit": "fraction",
             "vs_baseline": eff / 0.9,
         }))
+        if jax.default_backend() == "cpu":
+            import multiprocessing
+
+            print(
+                f"# NOTE: virtual CPU devices share {multiprocessing.cpu_count()} "
+                "host cores — this efficiency measures host oversubscription, "
+                "not interconnect scaling. The sharded hot loop is collective-"
+                "free (tests/test_collectives.py), so on real TPU meshes "
+                "scaling is bounded by dispatch amortization only.",
+                file=sys.stderr,
+            )
     return 0
 
 

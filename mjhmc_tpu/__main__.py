@@ -1,0 +1,184 @@
+"""Command-line entry points.
+
+    python -m mjhmc_tpu sample  --config rough_well --sampler mjhmc --steps 1000
+    python -m mjhmc_tpu bench   [--config rough_well]
+    python -m mjhmc_tpu figures [--quick] [--out figures_out]
+    python -m mjhmc_tpu search  --config gauss2d
+    python -m mjhmc_tpu smc     --config product_of_t
+    python -m mjhmc_tpu vi      --config gauss2d
+
+The TPU-native replacement for the reference's per-experiment scripts
+(SURVEY.md §2.7/L5): the five BASELINE configs are named presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_sample(args):
+    import jax
+    from mjhmc_tpu.config import BENCHMARK_CONFIGS
+    from mjhmc_tpu.diagnostics import effective_sample_size
+    from mjhmc_tpu.samplers import ControlHMC, MarkovJumpHMC, NUTS
+
+    cfg = BENCHMARK_CONFIGS[args.config]
+    dist = cfg.make_distribution()
+    cls = {"mjhmc": MarkovJumpHMC, "control": ControlHMC, "nuts": NUTS}[args.sampler]
+    kw = dict(nbatch=args.nbatch or cfg.nbatch, seed=args.seed)
+    if args.sampler == "nuts":
+        s = cls(dist, epsilon=cfg.epsilon, **kw)
+    else:
+        s = cls(
+            dist,
+            epsilon=cfg.epsilon,
+            beta=cfg.beta,
+            num_leapfrog_steps=cfg.num_leapfrog_steps,
+            **kw,
+        )
+    s.burn_in(args.burn)
+    out = s.sample(args.steps)
+    xs = np.asarray(out["x"])
+    w = np.asarray(out["dwell"]) if "dwell" in out else None
+    ww = w[:, None, :] if w is not None else np.ones_like(xs[:, :1, :])
+    mean = (ww * xs).sum(axis=(0, 2)) / ww.sum()
+    var = (ww * xs**2).sum(axis=(0, 2)) / ww.sum() - mean**2
+    import jax.numpy as jnp
+
+    ess = float(
+        effective_sample_size(jnp.asarray(xs), jnp.asarray(w) if w is not None else None)
+    )
+    rec = {
+        "config": args.config,
+        "sampler": args.sampler,
+        "steps": args.steps,
+        "chains": int(xs.shape[2]),
+        "grad_evals": s.grad_evals,
+        "mean": mean.tolist()[:8],
+        "var": var.tolist()[:8],
+        "ess": ess,
+        "ess_per_grad_eval": ess / max(s.grad_evals, 1),
+    }
+    if args.save:
+        np.savez(args.save, x=xs, **({"dwell": w} if w is not None else {}))
+        rec["saved"] = args.save
+    print(json.dumps(rec))
+
+
+def cmd_bench(args):
+    import bench
+
+    sys.exit(bench.main())
+
+
+def cmd_figures(args):
+    from mjhmc_tpu.experiments import figures
+
+    argv = ["--out", args.out] + (["--quick"] if args.quick else [])
+    figures.main(argv)
+
+
+def cmd_search(args):
+    from mjhmc_tpu.config import BENCHMARK_CONFIGS
+    from mjhmc_tpu.search import grid_search
+
+    cfg = BENCHMARK_CONFIGS[args.config]
+    res = grid_search(
+        cfg.make_distribution(),
+        sampler="mjhmc" if args.sampler == "nuts" else args.sampler,
+        num_steps=args.steps,
+        nbatch=args.nbatch or 256,
+    )
+    print(json.dumps({"best": res.best, "table": res.table}))
+
+
+def cmd_smc(args):
+    from mjhmc_tpu.config import BENCHMARK_CONFIGS
+    from mjhmc_tpu.inference import SMC
+
+    cfg = BENCHMARK_CONFIGS[args.config]
+    head = SMC(cfg.make_distribution(), num_particles=args.nbatch or 4096, seed=args.seed)
+    state, trace = head.run()
+    x = np.asarray(state.x)
+    print(
+        json.dumps(
+            {
+                "config": args.config,
+                "log_evidence": float(state.log_z),
+                "final_lambda": float(state.lam),
+                "particles": int(x.shape[1]),
+                "mean": x.mean(axis=1).tolist()[:8],
+                "var": x.var(axis=1).tolist()[:8],
+            }
+        )
+    )
+
+
+def cmd_vi(args):
+    from mjhmc_tpu.config import BENCHMARK_CONFIGS
+    from mjhmc_tpu.inference import ADVI
+
+    cfg = BENCHMARK_CONFIGS[args.config]
+    head = ADVI(cfg.make_distribution(), seed=args.seed)
+    params, elbos = head.fit()
+    print(
+        json.dumps(
+            {
+                "config": args.config,
+                "final_elbo": float(np.asarray(elbos)[-50:].mean()),
+                "mu": np.asarray(params.mu).tolist()[:8],
+                "sigma": np.exp(np.asarray(params.omega)).tolist()[:8],
+            }
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mjhmc_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default="rough_well")
+        sp.add_argument("--nbatch", type=int, default=None)
+        sp.add_argument("--seed", type=int, default=0)
+
+    sp = sub.add_parser("sample")
+    common(sp)
+    sp.add_argument("--sampler", choices=["mjhmc", "control", "nuts"], default="mjhmc")
+    sp.add_argument("--steps", type=int, default=1000)
+    sp.add_argument("--burn", type=int, default=500)
+    sp.add_argument("--save", default=None, help="npz path for raw samples")
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("bench")
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("figures")
+    sp.add_argument("--out", default="figures_out")
+    sp.add_argument("--quick", action="store_true")
+    sp.set_defaults(fn=cmd_figures)
+
+    sp = sub.add_parser("search")
+    common(sp)
+    sp.add_argument("--sampler", choices=["mjhmc", "control"], default="mjhmc")
+    sp.add_argument("--steps", type=int, default=800)
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("smc")
+    common(sp)
+    sp.set_defaults(fn=cmd_smc)
+
+    sp = sub.add_parser("vi")
+    common(sp)
+    sp.set_defaults(fn=cmd_vi)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
