@@ -271,7 +271,8 @@ class PallasRunOut(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "num_steps", "num_leapfrog", "lane_block")
+    jax.jit,
+    static_argnames=("spec", "num_steps", "num_leapfrog", "lane_block", "interpret"),
 )
 def pallas_mjhmc_run(
     spec: EnergySpec,
@@ -287,6 +288,7 @@ def pallas_mjhmc_run(
     num_steps: int,
     num_leapfrog: int,
     lane_block: int = 2048,
+    interpret: bool = False,
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
@@ -324,12 +326,49 @@ def pallas_mjhmc_run(
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((s, l), jnp.float32),
         ),
+        interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
         x, v, g, u, h_back, back_valid,
     )
+    return PallasRunOut(*out)
+
+
+def sharded_pallas_mjhmc_run(mesh, *run_args, **run_kwargs):
+    """Run the fused kernel on every device of a ('chains',)-meshed batch.
+
+    Chains are independent, so this is pure SPMD: each device runs the
+    kernel on its lane shard with a device-offset PRNG seed; zero
+    cross-device communication (shard_map with no collectives). Arrays use
+    the engine layout — (d, 8, L) with L sharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = run_args[0]
+    x, v, g, u, h_back, back_valid, seed, eps, beta = run_args[1:10]
+    rest = run_args[10:]
+
+    def local(x, v, g, u, h_back, back_valid):
+        dev = jax.lax.axis_index("chains")
+        dseed = jnp.int32(seed) + dev.astype(jnp.int32) * jnp.int32(131071)
+        return tuple(
+            pallas_mjhmc_run(
+                spec, x, v, g, u, h_back, back_valid, dseed, eps, beta,
+                *rest, **run_kwargs,
+            )
+        )
+
+    d3 = P(None, None, "chains")
+    d2 = P(None, "chains")
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(d3, d3, d3, d2, d2, d2),
+        out_specs=(d3, d3, d3, d2, d2, d2, d2, d3, d3, d2),
+        check_vma=False,  # pallas out_shape carries no vma annotation
+    )(x, v, g, u, h_back, back_valid)
     return PallasRunOut(*out)
 
 

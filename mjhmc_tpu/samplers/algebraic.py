@@ -179,6 +179,42 @@ def simulate_jump_ladder(
     return LadderSim(occupation=occ / wsum, mean_dwell=wsum / (num_steps * nchains))
 
 
+def simulate_discrete_ladder(
+    energies: np.ndarray,
+    beta: float,
+    key: Array,
+    num_steps: int,
+    nchains: int = 1024,
+) -> Array:
+    """Simulate control HMC on the ladder (corrupt → MH → flip-on-reject),
+    mirroring ``discrete_transition_matrix``; returns empirical occupation.
+    """
+    e = jnp.asarray(energies, jnp.float32)
+    k = e.shape[0]
+    q = beta / 2.0
+
+    def step(carry, skey):
+        s, occ = carry
+        kc, km, ka = jax.random.split(skey, 3)
+        rung = s % k
+        d = jnp.where(s < k, 1, -1)
+        # corruption: flip direction with prob q
+        d = jnp.where(jax.random.uniform(kc, s.shape) < q, -d, d)
+        acc_p = jnp.minimum(1.0, jnp.exp(e[rung] - e[(rung + d) % k]))
+        acc = jax.random.uniform(km, s.shape) < acc_p
+        rung_new = jnp.where(acc, (rung + d) % k, rung)
+        d_new = jnp.where(acc, d, -d)
+        s_next = jnp.where(d_new > 0, rung_new, k + rung_new)
+        occ = occ + jnp.sum(jax.nn.one_hot(s_next, 2 * k, dtype=jnp.float32), axis=0)
+        return (s_next, occ), None
+
+    ki, ks = jax.random.split(key)
+    s0 = jax.random.randint(ki, (nchains,), 0, 2 * k)
+    keys = jax.random.split(ks, num_steps)
+    (_, occ), _ = jax.lax.scan(step, (s0, jnp.zeros((2 * k,), jnp.float32)), keys)
+    return occ / jnp.sum(occ)
+
+
 def random_ladder_energies(key: Array, k: int, scale: float = 1.0) -> np.ndarray:
     """Randomly drawn rung energies (the reference's ladder setup)."""
     return np.asarray(scale * jax.random.normal(key, (k,)), np.float64)

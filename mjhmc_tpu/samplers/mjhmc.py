@@ -72,8 +72,17 @@ def mjhmc_step(
     beta: Array | float,
     num_leapfrog_steps: int,
     unroll: int = 1,
+    refresh_fraction: float = 1.0,
 ) -> Tuple[MJState, MJStepOut]:
-    """One Rao-Blackwellized jump iteration for all chains."""
+    """One Rao-Blackwellized jump iteration for all chains.
+
+    ``refresh_fraction``: R-clock momentum corruption amount. 1.0 (default)
+    is the full refresh v ← ξ consistent with the paper (SURVEY.md §3.1
+    notes full-vs-partial as the one detail to re-verify against the repo);
+    c < 1 gives the partial corruption v ← √(1−c)·v + √c·ξ, which also
+    preserves N(0, I) and hence π-stationarity. Either way the cache is
+    invalidated.
+    """
     chain = state.chain
     x, v, u, g = chain.x, chain.v, chain.u, chain.grad
     n = x.shape[1]
@@ -128,7 +137,12 @@ def mjhmc_step(
     is_r = sel == 2
 
     # ---- apply L / F / R as masked blends ---------------------------------
-    v_fresh = jax.random.normal(k_refresh, v.shape, v.dtype)
+    xi = jax.random.normal(k_refresh, v.shape, v.dtype)
+    if refresh_fraction >= 1.0:
+        v_fresh = xi
+    else:
+        c = jnp.float32(refresh_fraction)
+        v_fresh = jnp.sqrt(1.0 - c) * v + jnp.sqrt(c) * xi
     bl = is_l[None, :]
     x_new = jnp.where(bl, x_l, x)
     v_new = jnp.where(bl, v_l, jnp.where(is_f[None, :], -v, jnp.where(is_r[None, :], v_fresh, v)))
@@ -202,6 +216,7 @@ def mjhmc_run(
     unroll: int = 1,
     collect: str = "samples",
     thin: int = 1,
+    refresh_fraction: float = 1.0,
 ) -> Tuple[MJState, dict]:
     """Scan ``num_steps`` jump iterations.
 
@@ -216,7 +231,8 @@ def mjhmc_run(
 
         def body(carry, k):
             s, o = mjhmc_step(
-                dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll
+                dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
+                refresh_fraction,
             )
             return s, (o.x, o.dwell, o.sel, o.accept_stat, o.cache_err)
 
@@ -237,7 +253,8 @@ def mjhmc_run(
         def body(carry, k):
             s, a = carry
             s, o = mjhmc_step(
-                dist, s, k, epsilon, beta, num_leapfrog_steps, unroll
+                dist, s, k, epsilon, beta, num_leapfrog_steps, unroll,
+                refresh_fraction,
             )
             return (s, a.update(o.x, o.dwell)), None
 

@@ -81,6 +81,21 @@ def test_continuous_gap_geq_discrete():
     assert wins >= 4, f"continuous gap ≥ discrete in only {wins}/5 draws"
 
 
+def test_simulated_discrete_ladder_matches_matrix():
+    """Empirical occupation of the simulated control-HMC ladder chain must
+    match the transition matrix's stationary law within MC error."""
+    from mjhmc_tpu.samplers.algebraic import simulate_discrete_ladder
+
+    e = _energies(seed=4, k=6)
+    pi = ladder_stationary(e)
+    occ = np.asarray(
+        simulate_discrete_ladder(e, beta=0.5, key=jax.random.key(7),
+                                 num_steps=4000, nchains=512)
+    )
+    tv = 0.5 * np.abs(occ - pi).sum()
+    assert tv < 0.02, f"TV distance {tv}"
+
+
 def test_plain_hmc_variant_valid():
     """reject→stay is valid only with full refresh (β=1, corruption after MH)."""
     e = _energies(2)

@@ -111,6 +111,20 @@ def test_stats_collect_matches_samples():
     np.testing.assert_allclose(np.asarray(acc.mean()), mean, rtol=1e-4, atol=1e-5)
 
 
+def test_partial_refresh_preserves_target():
+    """refresh_fraction < 1 (partial corruption) keeps π invariant."""
+    dist = Gaussian(ndims=3, log_conditioning=1.0)
+    st0 = make_mj_state(dist, jax.random.key(11), 512)
+    _, out = mjhmc_run(
+        dist, st0, jax.random.key(12), 2000, 0.5, 0.3, 5,
+        refresh_fraction=0.5,
+    )
+    xs = np.asarray(out["x"])[500:]
+    w = np.asarray(out["dwell"])[500:][:, None, :]
+    var = (w * xs**2).sum(axis=(0, 2)) / w.sum()
+    np.testing.assert_allclose(var, np.asarray(dist.analytic_var()), rtol=0.15)
+
+
 def test_jump_rates_match_spec_single_step():
     """One hand-checked step: rates computed by the step function equal the
     closed-form Γ_L, Γ_F on a quadratic energy (SURVEY.md §3.1 spec)."""

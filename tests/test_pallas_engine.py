@@ -41,6 +41,36 @@ def test_unsupported_energy_raises():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_sharded_engine_matches_direct():
+    """shard_map SPMD path over a ('chains',) mesh == direct kernel call
+    (exactly, on a 1-device mesh: same seeds, same program)."""
+    from mjhmc_tpu.ops.pallas_mjhmc import (
+        energy_spec_for,
+        pallas_mjhmc_run,
+        sharded_pallas_mjhmc_run,
+    )
+    from mjhmc_tpu.parallel.mesh import make_chain_mesh
+
+    dist = RoughWell(ndims=2)
+    spec = energy_spec_for(dist)
+    n, s = 2048, 8
+    l = n // s
+    x = dist.init_x(jax.random.key(0), n).reshape(2, s, l)
+    v = jax.random.normal(jax.random.key(1), x.shape)
+    u, g = dist.potential_and_grad(x.reshape(2, n))
+    args = (
+        spec, x, v, g.reshape(2, s, l), u.reshape(s, l),
+        jnp.zeros((s, l)), jnp.zeros((s, l)),
+        jnp.int32(3), jnp.float32(1.0), jnp.float32(0.1), 20, 5,
+    )
+    direct = pallas_mjhmc_run(*args)
+    mesh = make_chain_mesh(1)
+    sharded = sharded_pallas_mjhmc_run(mesh, *args)
+    np.testing.assert_array_equal(np.asarray(direct.x), np.asarray(sharded.x))
+    np.testing.assert_array_equal(np.asarray(direct.w), np.asarray(sharded.w))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
 def test_pallas_engine_matches_xla_path_statistically():
     """Dwell mass, eval counts, operator mix and moments must agree with
     the reference XLA sampler within MC error (different PRNG streams)."""
