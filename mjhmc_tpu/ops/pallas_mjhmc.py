@@ -203,13 +203,13 @@ def _mjhmc_kernel(
         total = gamma_l + gamma_f + beta
         dwell = 1.0 / total
 
+        # categorical clock selection by inverse CDF — exactly equivalent to
+        # the jnp path's Gumbel-max over log-rates, but one uniform and zero
+        # transcendentals (rates are already clipped finite in linear space)
         s_shape = h_cur.shape
-        log_gf = jnp.where(gamma_f > 0.0, jnp.log(gamma_f), NEG_INF)
-        s0 = log_gl + _gumbel(s_shape)
-        s1 = log_gf + _gumbel(s_shape)
-        s2 = jnp.log(beta) + _gumbel(s_shape)
-        is_l = (s0 >= s1) & (s0 >= s2)
-        is_f = (~is_l) & (s1 >= s2)
+        u_sel = _uniform(s_shape) * total
+        is_l = u_sel < gamma_l
+        is_f = (~is_l) & (u_sel < gamma_l + gamma_f)
         is_r = (~is_l) & (~is_f)
 
         # accumulate Rao-Blackwell weighted moments of the dwelled-at state
