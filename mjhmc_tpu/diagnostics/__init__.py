@@ -6,9 +6,14 @@ from mjhmc_tpu.diagnostics.autocorr import (
     effective_sample_size,
     autocorrelation_vs_grad_evals,
 )
-from mjhmc_tpu.diagnostics.spectral import spectral_gap_discrete, spectral_gap_continuous
+from mjhmc_tpu.diagnostics.spectral import (
+    spectral_gap_discrete,
+    spectral_gap_continuous,
+    empirical_spectral_gap,
+)
 
 __all__ = [
+    "empirical_spectral_gap",
     "weighted_autocorrelation",
     "autocorrelation",
     "effective_sample_size",

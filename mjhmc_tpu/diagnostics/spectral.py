@@ -34,3 +34,33 @@ def spectral_gap_continuous(a: np.ndarray) -> float:
     w = np.linalg.eigvals(a)
     re = np.sort(np.abs(np.real(w)))
     return float(re[1])
+
+
+def empirical_spectral_gap(x, w=None, nlags: int | None = None) -> float:
+    """On-device estimate of 1 − λ₂ from sampled chains (BASELINE config 4:
+    spectral diagnostics without an explicit transition matrix).
+
+    For a reversible chain, the lag-autocorrelation of any observable decays
+    as λ₂^τ; fitting log ρ(τ) over the initial positive lags of the slowest
+    dim gives λ₂, hence the gap. ``x``: (T, ndims, nbatch); ``w`` optional
+    dwell weights (T, nbatch).
+    """
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.diagnostics.autocorr import weighted_autocorrelation
+
+    t = x.shape[0]
+    if nlags is None:
+        nlags = min(50, t // 4)
+    # slowest dim: compute per-dim autocorr and take the max-|rho(1)| dim
+    rhos = []
+    for d in range(x.shape[1]):
+        rho = weighted_autocorrelation(x[:, d : d + 1, :], w, nlags)
+        rhos.append(np.asarray(rho))
+    rho = rhos[int(np.argmax([abs(r[1]) for r in rhos]))]
+    pos = rho > 0.05
+    k = int(np.argmin(pos)) if not pos.all() else len(rho)
+    k = max(k, 3)
+    taus = np.arange(1, k)
+    lam2 = np.exp(np.polyfit(taus, np.log(np.maximum(rho[1:k], 1e-8)), 1)[0])
+    return float(1.0 - lam2)

@@ -40,6 +40,20 @@ class ACResult(NamedTuple):
     decay_evals: float  # evals to reach ρ = 1/e (interpolated)
     total_grad_evals: int
 
+    def to_frame(self):
+        """pandas DataFrame (sampler, lag, grad_evals, autocorrelation) —
+        API parity with the reference's pandas-based analysis path."""
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "sampler": self.name,
+                "lag": np.arange(len(self.rho)),
+                "grad_evals": self.grad_evals,
+                "autocorrelation": self.rho,
+            }
+        )
+
 
 def _decay_time(evals: np.ndarray, rho: np.ndarray, level: float = np.e**-1):
     below = np.nonzero(rho < level)[0]

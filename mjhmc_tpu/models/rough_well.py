@@ -28,13 +28,22 @@ Array = jax.Array
 @register("rough_well")
 @dataclasses.dataclass(frozen=True)
 class RoughWell(Distribution):
+    """``amplitude`` scales the ripple height (reference spec: 1.0).
+
+    Barrier heights are 2·amplitude in units of kT; amplitude ≳ 2 puts the
+    samplers in the high-rejection "rough" regime where the jump process's
+    per-grad-eval advantage over discrete HMC manifests (see
+    tests/test_efficiency.py and the ladder analysis in docs/DESIGN.md).
+    """
+
     ndims: int = 2
     scale1: float = 100.0
     scale2: float = 4.0
+    amplitude: float = 1.0
 
     def potential(self, x: Array) -> Array:
         s1, s2 = self.scale1, self.scale2
-        return jnp.sum(x * x, axis=-2) / (2.0 * s1 * s1) + jnp.sum(
+        return jnp.sum(x * x, axis=-2) / (2.0 * s1 * s1) + self.amplitude * jnp.sum(
             jnp.cos(x / s2), axis=-2
         )
 
@@ -42,8 +51,10 @@ class RoughWell(Distribution):
         s1, s2 = self.scale1, self.scale2
         inv_s1sq = 1.0 / (s1 * s1)
         c = jnp.cos(x / s2)
-        u = 0.5 * inv_s1sq * jnp.sum(x * x, axis=-2) + jnp.sum(c, axis=-2)
-        g = x * inv_s1sq - jnp.sin(x / s2) / s2
+        u = 0.5 * inv_s1sq * jnp.sum(x * x, axis=-2) + self.amplitude * jnp.sum(
+            c, axis=-2
+        )
+        g = x * inv_s1sq - self.amplitude * jnp.sin(x / s2) / s2
         return u, g
 
     def init_x(self, key: Array, nbatch: int) -> Array:
@@ -58,7 +69,7 @@ class RoughWell(Distribution):
         """Marginal variance by 1-D quadrature (host-side, NumPy)."""
         s1, s2 = self.scale1, self.scale2
         xs = np.linspace(-8 * s1, 8 * s1, 200_001)
-        u = xs**2 / (2 * s1**2) + np.cos(xs / s2)
+        u = xs**2 / (2 * s1**2) + self.amplitude * np.cos(xs / s2)
         w = np.exp(-(u - u.min()))
         var = np.sum(w * xs**2) / np.sum(w)
         return jnp.full(self.ndims, np.float32(var))

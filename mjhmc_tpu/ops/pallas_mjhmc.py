@@ -65,15 +65,17 @@ class EnergySpec:
 class RoughWellSpec(EnergySpec):
     scale1: float
     scale2: float
+    amplitude: float = 1.0
 
     def du(self, x):
         return x * (1.0 / self.scale1**2) - jnp.sin(x * (1.0 / self.scale2)) * (
-            1.0 / self.scale2
+            self.amplitude / self.scale2
         )
 
     def u_sum(self, x):
         return jnp.sum(
-            x * x * (0.5 / self.scale1**2) + jnp.cos(x * (1.0 / self.scale2)),
+            x * x * (0.5 / self.scale1**2)
+            + self.amplitude * jnp.cos(x * (1.0 / self.scale2)),
             axis=0,
         )
 
@@ -95,7 +97,7 @@ class GaussianSpec(EnergySpec):
 
 def energy_spec_for(dist) -> EnergySpec:
     if isinstance(dist, RoughWell):
-        return RoughWellSpec(dist.scale1, dist.scale2)
+        return RoughWellSpec(dist.scale1, dist.scale2, dist.amplitude)
     if isinstance(dist, Gaussian):
         return GaussianSpec(tuple(float(v) for v in 1.0 / dist.variances))
     raise TypeError(

@@ -179,6 +179,25 @@ def simulate_jump_ladder(
     return LadderSim(occupation=occ / wsum, mean_dwell=wsum / (num_steps * nchains))
 
 
+def embedded_jump_chain(energies: np.ndarray, beta: float) -> np.ndarray:
+    """Discrete-time chain embedded in the jump process — one matrix row
+    per *iteration* of the Rao-Blackwellized sampler (each iteration costs
+    the same M gradient evals as one discrete-HMC step, so per-step
+    spectral gaps of this matrix vs ``discrete_transition_matrix`` compare
+    the samplers at matched gradient budget).
+
+    P[i,j] = rate(j→i)/total(j) off-diagonal, with the R-clock's 50%
+    same-direction refresh as a (β/2)/total self-loop.
+    """
+    a = continuous_rate_matrix(energies, beta)
+    total = -np.diag(a) + beta / 2.0  # Γ_L + Γ_F + β
+    p = a.copy()
+    np.fill_diagonal(p, 0.0)
+    p = p / total[None, :]
+    np.fill_diagonal(p, (beta / 2.0) / total)
+    return p
+
+
 def simulate_discrete_ladder(
     energies: np.ndarray,
     beta: float,

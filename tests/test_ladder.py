@@ -81,6 +81,32 @@ def test_continuous_gap_geq_discrete():
     assert wins >= 4, f"continuous gap ≥ discrete in only {wins}/5 draws"
 
 
+def test_jump_chain_beats_discrete_hmc_on_rough_ladders():
+    """The paper's efficiency claim at matched gradient budget: per
+    sampler iteration (= M grad evals for both), the embedded jump chain's
+    spectral gap exceeds discrete HMC's on rough energy ladders (barrier
+    scale ≳ 1), by a growing factor as the landscape roughens; on smooth
+    ladders the two are comparable. Matrix-exact — no Monte-Carlo noise."""
+    from mjhmc_tpu.samplers.algebraic import embedded_jump_chain
+
+    def mean_ratio(scale, n_draws=8):
+        rj, rd = [], []
+        for seed in range(n_draws):
+            e = random_ladder_energies(jax.random.key(seed), 12, scale)
+            p = embedded_jump_chain(e, 0.3)
+            # column-stochastic; note the jump chain's stationary law is the
+            # rate-biased π·total/E[total] — the dwell weights correct for
+            # it, so π itself is NOT stationary for P (by design)
+            np.testing.assert_allclose(p.sum(axis=0), 1.0, atol=1e-12)
+            rj.append(spectral_gap_discrete(p))
+            rd.append(spectral_gap_discrete(discrete_transition_matrix(e, 0.3)))
+        return np.mean(rj) / np.mean(rd)
+
+    assert mean_ratio(2.0) > 2.0  # rough: jump chain decisively faster
+    assert mean_ratio(4.0) > 5.0  # rougher: advantage grows
+    assert mean_ratio(0.5) > 0.7  # smooth: comparable (no big loss)
+
+
 def test_simulated_discrete_ladder_matches_matrix():
     """Empirical occupation of the simulated control-HMC ladder chain must
     match the transition matrix's stationary law within MC error."""
