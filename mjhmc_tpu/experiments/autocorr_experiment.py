@@ -39,6 +39,8 @@ class ACResult(NamedTuple):
     rho: np.ndarray  # (nlags,) autocorrelation
     decay_evals: float  # evals to reach ρ = 1/e (interpolated)
     total_grad_evals: int
+    censored: bool = False  # ρ never reached 1/e inside the lag window —
+    # decay_evals is then a lower bound (window end), not an estimate
 
     def to_frame(self):
         """pandas DataFrame (sampler, lag, grad_evals, autocorrelation) —
@@ -102,10 +104,12 @@ def calculate_autocorrelation(
     total_evals = s.grad_evals
     evals_per_step = total_evals / (num_steps * nbatch)
     evals = np.arange(nlags) * evals_per_step
+    decay = _decay_time(evals, rho)
     return ACResult(
         name=sampler,
         grad_evals=evals,
         rho=rho,
-        decay_evals=_decay_time(evals, rho),
+        decay_evals=decay,
         total_grad_evals=total_evals,
+        censored=bool(decay >= evals[-1] * 0.999),
     )

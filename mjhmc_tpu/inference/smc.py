@@ -43,6 +43,10 @@ class SMCState(NamedTuple):
     log_z: Array  # () running evidence estimate
     eps: Array  # () mutation step size
     key: Array
+    log_tau: Array = None  # () ChEES-adapted total integration time
+    chees_m: Array = None  # () ChEES Adam first moment
+    chees_v: Array = None  # () ChEES Adam second moment
+    chees_step: Array = None  # () i32
 
 
 class SMCStageOut(NamedTuple):
@@ -116,8 +120,16 @@ def smc_stage(
     num_leapfrog_steps: int,
     target_accept: float = 0.65,
     rm_rate: float = 0.3,
+    mutation: str = "hmc",
 ) -> Tuple[SMCState, SMCStageOut]:
-    """One SMC stage: reweight (adaptive Δλ) → resample → mutate."""
+    """One SMC stage: reweight (adaptive Δλ) → resample → mutate.
+
+    ``mutation="chees"`` (arXiv:2504.02627, ChEES-SMC): mutation kernels
+    are jittered-trajectory HMC whose total integration time τ ascends the
+    ChEES criterion (shared machinery with ``samplers.chees``), realized
+    as masked per-particle leapfrog lengths capped at
+    ``num_leapfrog_steps`` (the fixed compute budget).
+    """
     x, log_w, lam = state.x, state.log_w, state.lam
     n = log_w.shape[0]
 
@@ -144,6 +156,59 @@ def smc_stage(
     pg = _tempered_potential_and_grad(dist, prior_scale, lam)
     u, g = pg(x)
 
+    if mutation == "chees":
+        from mjhmc_tpu.ops.leapfrog import masked_leapfrog
+        from mjhmc_tpu.samplers.chees import CheesState, _adam_ascent, chees_surrogate_grad
+
+        def mut_body(carry, k):
+            x, u, g, eps, cs = carry
+            k_j, k_v, k_mh = jax.random.split(k, 3)
+            tau = jnp.exp(cs.log_tau)
+            jitter = jax.random.uniform(k_j, u.shape, jnp.float32, 1e-3, 1.0)
+            m_i = jnp.clip(
+                jnp.round(jitter * tau / eps).astype(jnp.int32),
+                1,
+                num_leapfrog_steps,
+            )
+            v = jax.random.normal(k_v, x.shape, x.dtype)
+            h0 = total_energy(u, v)
+            xl, vl, ul, gl, steps = masked_leapfrog(
+                pg, x, v, g, eps, num_leapfrog_steps, m_i, u0=u
+            )
+            hl = total_energy(ul, vl)
+            log_p = jnp.minimum(0.0, h0 - hl)
+            alpha = jnp.where(jnp.isfinite(hl), jnp.exp(log_p), 0.0)
+            acc = (jnp.log(jax.random.uniform(k_mh, log_p.shape)) < log_p) & jnp.isfinite(hl)
+            am = acc[None, :]
+            x = jnp.where(am, xl, x)
+            u = jnp.where(acc, ul, u)
+            g = jnp.where(am, gl, g)
+            tau_i = eps * steps.astype(jnp.float32)
+            cs = _adam_ascent(cs, chees_surrogate_grad(x, xl, vl, alpha, tau_i, tau))
+            acc_mean = jnp.mean(alpha)
+            eps = eps * jnp.exp(rm_rate * (acc_mean - target_accept))
+            return (x, u, g, eps, cs), acc_mean
+
+        cs0 = CheesState(
+            log_tau=state.log_tau,
+            m_adam=state.chees_m,
+            v_adam=state.chees_v,
+            step=state.chees_step,
+        )
+        key, k_mut = jax.random.split(key)
+        keys = jax.random.split(k_mut, num_mutation_steps)
+        (x, u, g, eps, cs), acc_trace = lax.scan(
+            mut_body, (x, u, g, state.eps, cs0), keys
+        )
+        new_state = SMCState(
+            x=x, log_w=log_w, lam=lam, log_z=log_z, eps=eps, key=key,
+            log_tau=cs.log_tau, chees_m=cs.m_adam, chees_v=cs.v_adam,
+            chees_step=cs.step,
+        )
+        return new_state, SMCStageOut(
+            lam=lam, ess=ess, accept=jnp.mean(acc_trace), eps=eps
+        )
+
     def mut_body(carry, k):
         x, u, g, eps = carry
         k_v, k_mh = jax.random.split(k)
@@ -165,7 +230,9 @@ def smc_stage(
     keys = jax.random.split(k_mut, num_mutation_steps)
     (x, u, g, eps), acc_trace = lax.scan(mut_body, (x, u, g, state.eps), keys)
 
-    new_state = SMCState(x=x, log_w=log_w, lam=lam, log_z=log_z, eps=eps, key=key)
+    new_state = state._replace(
+        x=x, log_w=log_w, lam=lam, log_z=log_z, eps=eps, key=key
+    )
     return new_state, SMCStageOut(
         lam=lam, ess=ess, accept=jnp.mean(acc_trace), eps=eps
     )
@@ -181,6 +248,8 @@ def smc_run(
     num_mutation_steps: int = 5,
     num_leapfrog_steps: int = 5,
     init_eps: float = 0.25,
+    mutation: str = "hmc",
+    init_tau: float = 1.0,
 ) -> Tuple[SMCState, dict]:
     """Full annealing run prior → target. Returns final particles ~ p and
     the log-evidence estimate log(Z_target / Z_prior)."""
@@ -195,12 +264,16 @@ def smc_run(
         log_z=jnp.float32(0.0),
         eps=jnp.float32(init_eps),
         key=k_run,
+        log_tau=jnp.float32(jnp.log(init_tau)),
+        chees_m=jnp.float32(0.0),
+        chees_v=jnp.float32(0.0),
+        chees_step=jnp.int32(0),
     )
 
     def body(s, _):
         s, out = smc_stage(
             dist, s, prior_scale, ess_frac, num_mutation_steps,
-            num_leapfrog_steps,
+            num_leapfrog_steps, mutation=mutation,
         )
         return s, out
 

@@ -70,6 +70,24 @@ def _adam_ascent(
     return CheesState(log_tau=log_tau, m_adam=m, v_adam=v, step=step)
 
 
+def chees_surrogate_grad(x, xl, vl, alpha, tau_i, tau):
+    """Per-batch ChEES gradient estimate w.r.t. log τ (shared by the
+    jittered-HMC sampler and the SMC mutation kernel). Cross-chain means
+    lower to psums under sharding."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    mu_l = jnp.mean(xl, axis=-1, keepdims=True)
+    xc = x - mu
+    xlc = xl - mu_l
+    dsq = jnp.sum(xlc * xlc, axis=-2) - jnp.sum(xc * xc, axis=-2)
+    proj = jnp.sum(xlc * vl, axis=-2)
+    per_chain = alpha * dsq * proj * (tau_i / tau)
+    denom = jnp.maximum(jnp.sum(alpha), 1e-6)
+    grad_raw = jnp.sum(per_chain) / denom
+    return jnp.tanh(
+        grad_raw / (jnp.abs(grad_raw) + 1e-12) * jnp.log1p(jnp.abs(grad_raw))
+    )
+
+
 def chees_hmc_step(
     dist: Distribution,
     state: HMCState,
@@ -109,18 +127,8 @@ def chees_hmc_step(
     g_new = jnp.where(am, gl, g)
 
     # ---- ChEES surrogate gradient ----------------------------------------
-    mu = jnp.mean(x, axis=1, keepdims=True)  # psum/mean across all chains
-    mu_l = jnp.mean(xl, axis=1, keepdims=True)
-    xc = x - mu
-    xlc = xl - mu_l
-    dsq = jnp.sum(xlc * xlc, axis=0) - jnp.sum(xc * xc, axis=0)
-    proj = jnp.sum(xlc * vl, axis=0)
     tau_i = eps * steps.astype(jnp.float32)
-    per_chain = alpha * dsq * proj * (tau_i / tau)
-    denom = jnp.maximum(jnp.sum(alpha), 1e-6)
-    grad_raw = jnp.sum(per_chain) / denom
-    # normalize scale (Adam rescales anyway; guard overflow)
-    grad_t = jnp.tanh(grad_raw / (jnp.abs(grad_raw) + 1e-12) * jnp.log1p(jnp.abs(grad_raw)))
+    grad_t = chees_surrogate_grad(x, xl, vl, alpha, tau_i, tau)
 
     cs = _adam_ascent(cs, grad_t)
     da = da_update(da, jnp.mean(alpha), target=target_accept)
