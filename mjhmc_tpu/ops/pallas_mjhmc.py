@@ -52,12 +52,22 @@ _LANES = 128
 # static energy specs: emit per-dim gradient / summed potential jnp code
 # --------------------------------------------------------------------------
 class EnergySpec:
-    """Inline energy codegen for the kernel (static params baked in)."""
+    """Inline energy codegen for the kernel.
 
-    def du(self, x):  # (d, S, L) -> (d, S, L)
+    Scalar hyperparameters are baked in statically; *per-dim* parameter
+    vectors arrive through the ``params`` kernel input (Pallas kernels may
+    not capture array constants), shaped like the state block (d, S, L).
+    """
+
+    #: per-dim parameter vector shipped to the kernel, shape (d,) — ones
+    #: when the spec has no per-dim parameters
+    def param_vector(self, ndims: int) -> np.ndarray:
+        return np.ones((ndims,), np.float32)
+
+    def du(self, x, params):  # (d, S, L) -> (d, S, L)
         raise NotImplementedError
 
-    def u_sum(self, x):  # (d, S, L) -> (S, L)
+    def u_sum(self, x, params):  # (d, S, L) -> (S, L)
         raise NotImplementedError
 
 
@@ -67,12 +77,12 @@ class RoughWellSpec(EnergySpec):
     scale2: float
     amplitude: float = 1.0
 
-    def du(self, x):
+    def du(self, x, params):
         return x * (1.0 / self.scale1**2) - jnp.sin(x * (1.0 / self.scale2)) * (
             self.amplitude / self.scale2
         )
 
-    def u_sum(self, x):
+    def u_sum(self, x, params):
         return jnp.sum(
             x * x * (0.5 / self.scale1**2)
             + self.amplitude * jnp.cos(x * (1.0 / self.scale2)),
@@ -84,15 +94,14 @@ class RoughWellSpec(EnergySpec):
 class GaussianSpec(EnergySpec):
     precisions: tuple  # per-dim 1/σ²
 
-    def _prec(self, x):
-        p = jnp.asarray(np.asarray(self.precisions, np.float32))
-        return p[:, None, None]
+    def param_vector(self, ndims: int) -> np.ndarray:
+        return np.asarray(self.precisions, np.float32)
 
-    def du(self, x):
-        return x * self._prec(x)
+    def du(self, x, params):
+        return x * params
 
-    def u_sum(self, x):
-        return 0.5 * jnp.sum(x * x * self._prec(x), axis=0)
+    def u_sum(self, x, params):
+        return 0.5 * jnp.sum(x * x * params, axis=0)
 
 
 def energy_spec_for(dist) -> EnergySpec:
@@ -141,6 +150,7 @@ def _mjhmc_kernel(
     seed_ref,
     eps_ref,
     beta_ref,
+    params_ref,
     x_ref,
     v_ref,
     g_ref,
@@ -162,6 +172,7 @@ def _mjhmc_kernel(
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     eps = eps_ref[0]
     beta = beta_ref[0]
+    params = params_ref[:]
     m = num_leapfrog
 
     def leapfrog_pair(x, vf, gf, vb, gb):
@@ -170,12 +181,12 @@ def _mjhmc_kernel(
         for _ in range(m):
             vf_h = vf - (0.5 * eps) * gf
             xf = xf + eps * vf_h
-            gf = spec.du(xf)
+            gf = spec.du(xf, params)
             vf = vf_h - (0.5 * eps) * gf
 
             vb_h = vb - (0.5 * eps) * gb
             xb = xb + eps * vb_h
-            gb = spec.du(xb)
+            gb = spec.du(xb, params)
             vb = vb_h - (0.5 * eps) * gb
         return xf, vf, gf, xb, vb, gb
 
@@ -187,9 +198,9 @@ def _mjhmc_kernel(
         h_cur = u + halfsq(v)
 
         xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
-        uf = spec.u_sum(xf)
+        uf = spec.u_sum(xf, params)
         h_l = uf + halfsq(vf)
-        h_b_fresh = spec.u_sum(xb) + halfsq(vb)
+        h_b_fresh = spec.u_sum(xb, params) + halfsq(vb)
         h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
 
         def log_rate(h_to):
@@ -307,11 +318,18 @@ def pallas_mjhmc_run(
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    # per-dim parameter vector broadcast to the state layout (kernel input —
+    # Pallas forbids captured array constants); one-time DMA per run
+    params = jnp.broadcast_to(
+        jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
+    )
+
     kernel = functools.partial(_mjhmc_kernel, spec, num_steps, num_leapfrog)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem] + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        in_specs=[smem, smem, smem]
+        + [dspec(), dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
             sspec(), dspec(), dspec(), sspec(),
@@ -333,7 +351,7 @@ def pallas_mjhmc_run(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
-        x, v, g, u, h_back, back_valid,
+        params, x, v, g, u, h_back, back_valid,
     )
     return PallasRunOut(*out)
 
