@@ -29,8 +29,11 @@ def test_energy_spec_codegen_matches_distribution():
         x = dist.init_x(jax.random.key(0), n)
         u_ref, g_ref = dist.potential_and_grad(x)
         x3 = x.reshape(dist.ndims, 8, n // 8)
-        u3 = spec.u_sum(x3).reshape(n)
-        g3 = spec.du(x3).reshape(dist.ndims, n)
+        params = jnp.broadcast_to(
+            jnp.asarray(spec.param_vector(dist.ndims))[:, None, None], x3.shape
+        )
+        u3 = spec.u_sum(x3, params).reshape(n)
+        g3 = spec.du(x3, params).reshape(dist.ndims, n)
         np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), rtol=1e-5)
 
