@@ -16,6 +16,12 @@ from mjhmc_tpu.samplers.mjhmc import (
     mjhmc_run,
 )
 from mjhmc_tpu.samplers.hmc import ControlHMC, HMCStepOut, hmc_step, hmc_run
+from mjhmc_tpu.samplers.chees import (
+    CheesState,
+    chees_hmc_run,
+    chees_hmc_step,
+    chees_init,
+)
 from mjhmc_tpu.samplers.nuts import (
     NUTS,
     NUTSState,
@@ -47,4 +53,8 @@ __all__ = [
     "make_nuts_state",
     "nuts_step",
     "nuts_run",
+    "CheesState",
+    "chees_hmc_run",
+    "chees_hmc_step",
+    "chees_init",
 ]

@@ -43,6 +43,35 @@ def test_counters_bounded_by_budget():
     assert nl == (steps, 2, n)
 
 
+def test_depth_matches_uturn_theory():
+    """1-D standard normal: leapfrog rotates phase space at ω=ε/step and
+    the whole-tree U-turn fires once the span reaches ~π/ε steps, so mean
+    completed-depth sits a constant ~1-2 below log2(π/ε) (the final failed
+    doubling is not counted; random directions overlap) and scales as
+    −log2 ε."""
+    depths = {}
+    for eps in (0.05, 0.2):
+        s = NUTS(Gaussian(ndims=1, log_conditioning=0.0), epsilon=eps,
+                 max_depth=9, nbatch=256, seed=4)
+        depths[eps] = float(np.asarray(s.sample(30)["depth"]).mean())
+        expected = np.log2(np.pi / eps)
+        assert expected - 2.5 < depths[eps] < expected + 0.5, (eps, depths[eps])
+    # quartering ε adds ~2 doublings
+    assert 1.0 < depths[0.05] - depths[0.2] < 2.6
+
+
+def test_tight_invariance_1d():
+    """High-precision stationarity: 1-D N(0,1), large sample, 2% tolerance
+    on the second moment and 5% on the fourth (catches subtle tree bias)."""
+    s = NUTS(Gaussian(ndims=1, log_conditioning=0.0), epsilon=0.35,
+             max_depth=6, nbatch=512, seed=5)
+    s.burn_in(100)
+    xs = np.asarray(s.sample(2000)["x"]).ravel()
+    m2, m4 = (xs**2).mean(), (xs**4).mean()
+    assert abs(m2 - 1.0) < 0.02, m2
+    assert abs(m4 - 3.0) < 0.15, m4
+
+
 def test_divergence_detection():
     """Huge ε on an ill-conditioned target must flag divergences."""
     dist = Gaussian(ndims=10, log_conditioning=3.0)
