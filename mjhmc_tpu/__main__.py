@@ -101,7 +101,13 @@ def cmd_smc(args):
     from mjhmc_tpu.inference import SMC
 
     cfg = BENCHMARK_CONFIGS[args.config]
-    head = SMC(cfg.make_distribution(), num_particles=args.nbatch or 4096, seed=args.seed)
+    head = SMC(
+        cfg.make_distribution(),
+        num_particles=args.nbatch or 4096,
+        num_stages=args.stages,
+        prior_scale=args.prior_scale,
+        seed=args.seed,
+    )
     state, trace = head.run()
     x = np.asarray(state.x)
     print(
@@ -170,6 +176,10 @@ def main(argv=None):
 
     sp = sub.add_parser("smc")
     common(sp)
+    sp.add_argument("--stages", type=int, default=20,
+                    help="tempering stages (tight high-dim posteriors, e.g. "
+                         "sparse_coding, need 60-150)")
+    sp.add_argument("--prior-scale", type=float, default=3.0)
     sp.set_defaults(fn=cmd_smc)
 
     sp = sub.add_parser("vi")

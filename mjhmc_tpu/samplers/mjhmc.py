@@ -326,3 +326,12 @@ class MarkovJumpHMC:
     def grad_evals(self) -> int:
         """Total algorithmic gradient evaluations (the fairness currency)."""
         return int(jnp.sum(self.state.grad_evals))
+
+    def shard(self, mesh=None) -> "MarkovJumpHMC":
+        """Shard chain state over a ('chains',) mesh (all devices by
+        default). The hot loop stays collective-free; returns self."""
+        from mjhmc_tpu.parallel.mesh import make_chain_mesh, shard_chain_pytree
+
+        mesh = mesh or make_chain_mesh()
+        self.state = shard_chain_pytree(self.state, mesh)
+        return self
