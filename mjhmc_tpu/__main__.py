@@ -124,6 +124,31 @@ def cmd_smc(args):
     )
 
 
+def cmd_diagnostics(args):
+    """Compute autocorrelation / ESS / empirical spectral gap from a saved
+    sample file (`sample --save out.npz`)."""
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.diagnostics import (
+        effective_sample_size,
+        empirical_spectral_gap,
+        weighted_autocorrelation,
+    )
+
+    data = np.load(args.file)
+    x = jnp.asarray(data["x"])
+    w = jnp.asarray(data["dwell"]) if "dwell" in data else None
+    rho = np.asarray(weighted_autocorrelation(x, w, nlags=args.nlags))
+    out = {
+        "file": args.file,
+        "shape": list(x.shape),
+        "ess": float(effective_sample_size(x, w)),
+        "spectral_gap": empirical_spectral_gap(x, w),
+        "rho_first_lags": rho[: min(10, len(rho))].tolist(),
+    }
+    print(json.dumps(out))
+
+
 def cmd_vi(args):
     from mjhmc_tpu.config import BENCHMARK_CONFIGS
     from mjhmc_tpu.inference import ADVI
@@ -185,6 +210,11 @@ def main(argv=None):
     sp = sub.add_parser("vi")
     common(sp)
     sp.set_defaults(fn=cmd_vi)
+
+    sp = sub.add_parser("diagnostics")
+    sp.add_argument("--file", required=True, help="npz from `sample --save`")
+    sp.add_argument("--nlags", type=int, default=200)
+    sp.set_defaults(fn=cmd_diagnostics)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -99,9 +99,24 @@ class SparseCoding(Distribution):
         x = self._phi @ a0 + self.sigma * rng.standard_normal(self.npixels)
         return x.astype(np.float32)
 
+    #: optional user-supplied patch overriding the synthetic one
+    custom_patch: tuple | None = None
+
     @property
     def patch(self) -> Array:
+        if self.custom_patch is not None:
+            p = np.asarray(self.custom_patch, np.float32)
+            assert p.shape == (self.npixels,)
+            return jnp.asarray(p)[:, None]
         return jnp.asarray(self._patch)[:, None]  # (npixels, 1) broadcast
+
+    @classmethod
+    def with_patch(cls, patch, **kwargs) -> "SparseCoding":
+        """Condition on a user image patch (flattened, length npixels) —
+        the reference shipped natural-image patches as data files
+        (SURVEY.md §2.2d); pass them here."""
+        patch = np.asarray(patch, np.float32).ravel()
+        return cls(npixels=len(patch), custom_patch=tuple(patch.tolist()), **kwargs)
 
     # ---------------------------------------------------------------- energy
     def _smooth_l1(self, a: Array) -> Array:

@@ -74,6 +74,21 @@ def test_rough_well_quadrature_var():
     assert 0.5 * d.scale1**2 < float(v[0]) < 2.0 * d.scale1**2
 
 
+def test_sparse_coding_custom_patch():
+    import numpy as np
+    from mjhmc_tpu.models import SparseCoding
+
+    patch = np.linspace(-1, 1, 64)
+    d = SparseCoding.with_patch(patch, nbasis=32)
+    assert d.npixels == 64 and d.ndims == 32
+    np.testing.assert_allclose(np.asarray(d.patch).ravel(), patch, rtol=1e-6)
+    x = d.init_x(jax.random.key(0), 4)
+    u, g = d.potential_and_grad(x)
+    assert np.isfinite(np.asarray(u)).all()
+    # different patch ⇒ different posterior hash
+    assert d.stable_hash() != SparseCoding(npixels=64, nbasis=32).stable_hash()
+
+
 def test_registry():
     names = set(registry())
     assert {"gaussian", "rough_well", "product_of_t", "sparse_coding"} <= names
