@@ -75,6 +75,19 @@ class Distribution:
         """log p(x) up to a constant = -U(x). Shared API for VI/SMC heads."""
         return -self.potential(x)
 
+    # ---- reference-API aliases (SURVEY.md §2.1 public surface) -----------
+    def E(self, x: Array) -> Array:  # noqa: N802 — reference name
+        """Alias of :meth:`potential` (the reference's ``E(X)``)."""
+        return self.potential(x)
+
+    def dEdX(self, x: Array) -> Array:  # noqa: N802 — reference name
+        """Alias of :meth:`grad_potential` (the reference's ``dEdX(X)``)."""
+        return self.grad_potential(x)
+
+    def init_X(self, key: Array, nbatch: int) -> Array:  # noqa: N802
+        """Alias of :meth:`init_x` (the reference's ``init_X()``)."""
+        return self.init_x(key, nbatch)
+
     # ------------------------------------------------------------------ init
     def init_x(self, key: Array, nbatch: int) -> Array:
         """Draw initial chain states, shape (ndims, nbatch).

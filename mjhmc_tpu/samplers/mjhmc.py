@@ -327,6 +327,12 @@ class MarkovJumpHMC:
         """Total algorithmic gradient evaluations (the fairness currency)."""
         return int(jnp.sum(self.state.grad_evals))
 
+    @property
+    def dwelling_times(self) -> Array:
+        """Accumulated Rao-Blackwell dwell mass per chain (the reference's
+        ``dwelling_times`` attribute, SURVEY.md §2.3)."""
+        return self.state.dwell_sum
+
     def shard(self, mesh=None) -> "MarkovJumpHMC":
         """Shard chain state over a ('chains',) mesh (all devices by
         default). The hot loop stays collective-free; returns self."""

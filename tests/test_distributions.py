@@ -74,6 +74,18 @@ def test_rough_well_quadrature_var():
     assert 0.5 * d.scale1**2 < float(v[0]) < 2.0 * d.scale1**2
 
 
+def test_reference_api_aliases():
+    """E / dEdX / init_X aliases (the reference's public surface)."""
+    d = Gaussian(ndims=3, log_conditioning=1.0)
+    key = jax.random.key(0)
+    x = d.init_X(key, 5)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(d.init_x(key, 5)))
+    np.testing.assert_allclose(np.asarray(d.E(x)), np.asarray(d.potential(x)))
+    np.testing.assert_allclose(
+        np.asarray(d.dEdX(x)), np.asarray(d.grad_potential(x))
+    )
+
+
 def test_sparse_coding_custom_patch():
     import numpy as np
     from mjhmc_tpu.models import SparseCoding
