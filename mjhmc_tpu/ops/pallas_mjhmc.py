@@ -305,9 +305,16 @@ def pallas_mjhmc_run(
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
-    lb = min(lane_block, l)
-    while l % lb:
-        lb //= 2
+    # VMEM-aware lane blocking: the kernel's live set is ~14 d-sized + ~10
+    # scalar-per-chain buffers per lane; cap the block so it fits a ~10MB
+    # budget (16MB VMEM minus headroom) — matters for large-d energies
+    # (e.g. the 50-D Gaussian), where a 2048-lane block overflows VMEM.
+    bytes_per_lane = (14 * d + 10) * s * 4
+    lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
+    lb = min(lane_block, lb_budget, l)
+    lb = max(_LANES, lb // _LANES * _LANES)
+    while l % lb:  # largest multiple of 128 ≤ budget that divides l
+        lb -= _LANES
     grid = (l // lb,)
 
     def dspec():

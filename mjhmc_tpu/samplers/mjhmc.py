@@ -145,7 +145,8 @@ def mjhmc_step(
         v_fresh = jnp.sqrt(1.0 - c) * v + jnp.sqrt(c) * xi
     bl = is_l[None, :]
     x_new = jnp.where(bl, x_l, x)
-    v_new = jnp.where(bl, v_l, jnp.where(is_f[None, :], -v, jnp.where(is_r[None, :], v_fresh, v)))
+    # sel is exactly one of {L, F, R}: not-L and not-F ⟹ refresh
+    v_new = jnp.where(bl, v_l, jnp.where(is_f[None, :], -v, v_fresh))
     u_new = jnp.where(is_l, u_l, u)
     g_new = jnp.where(bl, g_l, g)
     # cache state machine: L → H(ζ) becomes the backward energy; F → H(Lζ);
