@@ -78,9 +78,36 @@ def calculate_autocorrelation(
     burn_steps: int = 500,
     seed: int = 0,
     use_cached_init: bool = True,
+    engine: str = "xla",
     **sampler_kwargs,
 ) -> ACResult:
-    """Run ``sampler`` on ``dist``; return the ρ-vs-grad-evals curve."""
+    """Run ``sampler`` on ``dist``; return the ρ-vs-grad-evals curve.
+
+    ``engine="pallas"`` (MJHMC on fused-energy distributions, TPU only)
+    streams samples from the fused kernel at full engine speed
+    (ops.pallas_mjhmc.PallasMJHMC.sample).
+    """
+    if engine == "pallas":
+        if sampler != "mjhmc":
+            raise ValueError("the fused engine implements MJHMC only")
+        from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+        eng = PallasMJHMC(dist, nbatch=nbatch, seed=seed, **sampler_kwargs)
+        eng.run(burn_steps)
+        xs, ws = eng.sample(num_steps)
+        rho = np.asarray(weighted_autocorrelation(xs, ws, nlags=nlags))
+        total = eng.grad_evals
+        evals_per_step = total / (eng.steps_total * eng.nbatch)
+        evals = np.arange(nlags) * evals_per_step
+        decay = _decay_time(evals, rho)
+        return ACResult(
+            name="mjhmc[pallas]",
+            grad_evals=evals,
+            rho=rho,
+            decay_evals=decay,
+            total_grad_evals=total,
+            censored=bool(decay >= evals[-1] * 0.999),
+        )
     cls = SAMPLERS[sampler]
     s = cls(dist, nbatch=nbatch, seed=seed, **sampler_kwargs)
     if use_cached_init:

@@ -142,38 +142,12 @@ def _normal(shape):
     return r * jnp.cos((2.0 * np.pi) * u2)
 
 
-def _mjhmc_kernel(
-    spec: EnergySpec,
-    num_steps: int,
-    num_leapfrog: int,
-    # refs:
-    seed_ref,
-    eps_ref,
-    beta_ref,
-    params_ref,
-    x_ref,
-    v_ref,
-    g_ref,
-    u_ref,
-    hback_ref,
-    valid_ref,
-    # outs:
-    xo_ref,
-    vo_ref,
-    go_ref,
-    uo_ref,
-    hbacko_ref,
-    valido_ref,
-    w_ref,
-    wx_ref,
-    wx2_ref,
-    evals_ref,
-):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    eps = eps_ref[0]
-    beta = beta_ref[0]
-    params = params_ref[:]
-    m = num_leapfrog
+def _make_step(spec: EnergySpec, params, eps, beta, m):
+    """Build the fused jump-iteration body shared by both kernels.
+
+    Returns step(carry) -> (carry', (x_pre, dwell)) where x_pre/dwell are
+    the Rao-Blackwell emission of that iteration.
+    """
 
     def leapfrog_pair(x, vf, gf, vb, gb):
         """M steps forward from (x, vf) and backward from (x, vb=-v)."""
@@ -193,7 +167,7 @@ def _mjhmc_kernel(
     def halfsq(v):
         return 0.5 * jnp.sum(v * v, axis=0)
 
-    def body(_, carry):
+    def step(carry):
         x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
         h_cur = u + halfsq(v)
 
@@ -231,6 +205,7 @@ def _mjhmc_kernel(
         wx2 = wx2 + dwell[None] * x * x
         evals = evals + jnp.float32(m) + jnp.float32(m) * (1.0 - valid)
 
+        x_pre = x
         v_fresh = _normal(x.shape)
         bl = is_l[None]
         bf = is_f[None]
@@ -240,24 +215,23 @@ def _mjhmc_kernel(
         u = jnp.where(is_l, uf, u)
         h_back = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
         valid = jnp.where(is_r, 0.0, 1.0)
-        return (x, v, g, u, h_back, valid, w, wx, wx2, evals)
+        return (x, v, g, u, h_back, valid, w, wx, wx2, evals), (x_pre, dwell)
 
-    x = x_ref[:]
-    v = v_ref[:]
-    g = g_ref[:]
+    return step
+
+
+def _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref):
     u = u_ref[:]
-    h_back = hback_ref[:]
-    valid = valid_ref[:]
-    zeros_s = jnp.zeros_like(u)
-    zeros_d = jnp.zeros_like(x)
-
-    (x, v, g, u, h_back, valid, w, wx, wx2, evals) = jax.lax.fori_loop(
-        0,
-        num_steps,
-        body,
-        (x, v, g, u, h_back, valid, zeros_s, zeros_d, zeros_d, zeros_s),
+    return (
+        x_ref[:], v_ref[:], g_ref[:], u, hback_ref[:], valid_ref[:],
+        jnp.zeros_like(u), jnp.zeros_like(x_ref[:]), jnp.zeros_like(x_ref[:]),
+        jnp.zeros_like(u),
     )
 
+
+def _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
+                valido_ref, w_ref, wx_ref, wx2_ref, evals_ref):
+    (x, v, g, u, h_back, valid, w, wx, wx2, evals) = carry
     xo_ref[:] = x
     vo_ref[:] = v
     go_ref[:] = g
@@ -268,6 +242,147 @@ def _mjhmc_kernel(
     wx_ref[:] = wx
     wx2_ref[:] = wx2
     evals_ref[:] = evals
+
+
+def _mjhmc_kernel(
+    spec: EnergySpec,
+    num_steps: int,
+    num_leapfrog: int,
+    # refs:
+    seed_ref,
+    eps_ref,
+    beta_ref,
+    params_ref,
+    x_ref,
+    v_ref,
+    g_ref,
+    u_ref,
+    hback_ref,
+    valid_ref,
+    # outs:
+    xo_ref,
+    vo_ref,
+    go_ref,
+    uo_ref,
+    hbacko_ref,
+    valido_ref,
+    w_ref,
+    wx_ref,
+    wx2_ref,
+    evals_ref,
+):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step = _make_step(spec, params_ref[:], eps_ref[0], beta_ref[0], num_leapfrog)
+
+    carry = jax.lax.fori_loop(
+        0,
+        num_steps,
+        lambda _, c: step(c)[0],
+        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+    )
+    _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
+                valido_ref, w_ref, wx_ref, wx2_ref, evals_ref)
+
+
+def _mjhmc_stream_kernel(
+    spec: EnergySpec,
+    num_emits: int,
+    thin: int,
+    num_leapfrog: int,
+    # in refs:
+    seed_ref,
+    eps_ref,
+    beta_ref,
+    params_ref,
+    x_ref,
+    v_ref,
+    g_ref,
+    u_ref,
+    hback_ref,
+    valid_ref,
+    # outs (first two live in HBM, written by explicit DMA):
+    xs_ref,  # (num_emits, d, S, L) ANY/HBM
+    ws_ref,  # (num_emits, S, L) ANY/HBM
+    xo_ref,
+    vo_ref,
+    go_ref,
+    uo_ref,
+    hbacko_ref,
+    valido_ref,
+    w_ref,
+    wx_ref,
+    wx2_ref,
+    evals_ref,
+    # scratch:
+    xscr_ref,  # (2, d, S, Lb) VMEM
+    wscr_ref,  # (2, S, Lb) VMEM
+    sem_x,  # DMA (2,)
+    sem_w,  # DMA (2,)
+):
+    """Streaming variant: every ``thin``-th iteration's Rao-Blackwell
+    emission (pre-transition x, dwell) is double-buffered through VMEM
+    scratch and DMA'd to HBM while the sampler keeps running — the fused
+    engine's equivalent of ``collect="samples"``.
+    """
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step = _make_step(spec, params_ref[:], eps_ref[0], beta_ref[0], num_leapfrog)
+    i = pl.program_id(0)
+    lb = xscr_ref.shape[-1]
+    lane0 = pl.multiple_of(i * lb, 128)
+
+    def dma_pair(slot, t):
+        dx = pltpu.make_async_copy(
+            xscr_ref.at[slot],
+            xs_ref.at[t, :, :, pl.ds(lane0, lb)],
+            sem_x.at[slot],
+        )
+        dw = pltpu.make_async_copy(
+            wscr_ref.at[slot],
+            ws_ref.at[t, :, pl.ds(lane0, lb)],
+            sem_w.at[slot],
+        )
+        return dx, dw
+
+    def emit_body(t, carry):
+        # thin-1 dropped iterations, then one emitted iteration
+        carry = jax.lax.fori_loop(0, thin - 1, lambda _, c: step(c)[0], carry)
+        carry, (x_pre, dwell) = step(carry)
+
+        slot = jax.lax.rem(t, 2)
+
+        # reclaim the slot used two emissions ago
+        @pl.when(t >= 2)
+        def _():
+            dx, dw = dma_pair(slot, t - 2)
+            dx.wait()
+            dw.wait()
+
+        xscr_ref[slot] = x_pre
+        wscr_ref[slot] = dwell
+        dx, dw = dma_pair(slot, t)
+        dx.start()
+        dw.start()
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0,
+        num_emits,
+        emit_body,
+        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+    )
+
+    # drain outstanding DMAs (last two emissions)
+    for back in (2, 1):
+
+        @pl.when(num_emits >= back)
+        def _(back=back):
+            t = num_emits - back
+            dx, dw = dma_pair(jax.lax.rem(t, 2), t)
+            dx.wait()
+            dw.wait()
+
+    _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
+                valido_ref, w_ref, wx_ref, wx2_ref, evals_ref)
 
 
 class PallasRunOut(NamedTuple):
@@ -363,6 +478,97 @@ def pallas_mjhmc_run(
     return PallasRunOut(*out)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_emits", "thin", "num_leapfrog", "lane_block"),
+)
+def pallas_mjhmc_stream_run(
+    spec: EnergySpec,
+    x: Array,
+    v: Array,
+    g: Array,
+    u: Array,
+    h_back: Array,
+    back_valid: Array,
+    seed: Array,
+    epsilon: Array,
+    beta: Array,
+    num_emits: int,
+    thin: int,
+    num_leapfrog: int,
+    lane_block: int = 2048,
+):
+    """Streaming engine run: ``num_emits`` thinned Rao-Blackwell emissions.
+
+    Returns (xs, ws, PallasRunOut): xs (num_emits, d, 8, L) pre-transition
+    positions, ws (num_emits, 8, L) dwell weights — produced by in-kernel
+    double-buffered DMA to HBM at full engine speed.
+    """
+    d, s, l = x.shape
+    assert s == _SUBLANES and l % _LANES == 0
+    bytes_per_lane = (16 * d + 12) * s * 4  # + streaming scratch
+    lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
+    lb = min(lane_block, lb_budget, l)
+    lb = max(_LANES, lb // _LANES * _LANES)
+    while l % lb:
+        lb -= _LANES
+    grid = (l // lb,)
+
+    def dspec():
+        return pl.BlockSpec((d, s, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((s, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    params = jnp.broadcast_to(
+        jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
+    )
+    kernel = functools.partial(
+        _mjhmc_stream_kernel, spec, num_emits, thin, num_leapfrog
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem]
+        + [dspec(), dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        out_specs=(
+            anyspec, anyspec,
+            dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
+            sspec(), dspec(), dspec(), sspec(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_emits, d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((num_emits, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, s, lb), jnp.float32),
+            pltpu.VMEM((2, s, lb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(epsilon, jnp.float32).reshape(1),
+        jnp.asarray(beta, jnp.float32).reshape(1),
+        params, x, v, g, u, h_back, back_valid,
+    )
+    xs, ws = out[0], out[1]
+    return xs, ws, PallasRunOut(*out[2:])
+
+
 def sharded_pallas_mjhmc_run(mesh, *run_args, **run_kwargs):
     """Run the fused kernel on every device of a ('chains',)-meshed batch.
 
@@ -436,6 +642,39 @@ class PallasMJHMC:
         self.h_back = jnp.zeros((s, l), jnp.float32)
         self.back_valid = jnp.zeros((s, l), jnp.float32)
         self._step_seed = np.int32(self.seed * 7919 + 13)
+        self.evals_total = jnp.float32(0.0)  # algorithmic grad evals, all runs
+        self.steps_total = 0
+
+    def sample(self, num_emits: int, thin: int = 1):
+        """Streaming run: returns (xs, dwell) shaped (num_emits, d, nbatch)
+        / (num_emits, nbatch) — the fused-engine ``collect='samples'``."""
+        xs, ws, out = pallas_mjhmc_stream_run(
+            self.spec,
+            self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
+            jnp.int32(self._step_seed),
+            jnp.float32(self.epsilon),
+            jnp.float32(self.beta),
+            num_emits,
+            thin,
+            self.num_leapfrog_steps,
+        )
+        self._advance_seed()
+        (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
+            out.x, out.v, out.grad, out.u, out.h_back, out.back_valid
+        )
+        self.evals_total = self.evals_total + jnp.sum(out.evals)
+        self.steps_total += num_emits * thin
+        d = xs.shape[1]
+        return (
+            xs.reshape(num_emits, d, self.nbatch),
+            ws.reshape(num_emits, self.nbatch),
+        )
+
+    def _advance_seed(self):
+        self._step_seed = np.int32(
+            (int(self._step_seed) * 6364136223846793005 + 1442695040888963407)
+            % (2**31 - 1)
+        )
 
     def run(self, num_steps: int) -> PallasRunOut:
         out = pallas_mjhmc_run(
@@ -447,11 +686,18 @@ class PallasMJHMC:
             num_steps,
             self.num_leapfrog_steps,
         )
-        self._step_seed = np.int32((int(self._step_seed) * 6364136223846793005 + 1442695040888963407) % (2**31 - 1))
+        self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
             out.x, out.v, out.grad, out.u, out.h_back, out.back_valid
         )
+        self.evals_total = self.evals_total + jnp.sum(out.evals)
+        self.steps_total += num_steps
         return out
+
+    @property
+    def grad_evals(self) -> int:
+        """Cumulative algorithmic gradient evaluations (all runs)."""
+        return int(self.evals_total)
 
     @staticmethod
     def moments(out: PallasRunOut):

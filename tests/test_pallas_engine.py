@@ -74,6 +74,30 @@ def test_sharded_engine_matches_direct():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_streaming_engine_matches_moments():
+    """Streamed (x, dwell) pairs reproduce the accumulator moments and the
+    rough-well oracle; evals counter accumulates across runs."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+    dist = RoughWell(ndims=2)
+    eng = PallasMJHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=10, nbatch=2048, seed=3
+    )
+    eng.run(300)
+    xs, ws = eng.sample(600)
+    assert xs.shape == (600, 2, eng.nbatch) and ws.shape == (600, eng.nbatch)
+    w = np.asarray(ws)[:, None, :]
+    x = np.asarray(xs)
+    var = (w * x**2).sum(axis=(0, 2)) / w.sum()
+    tgt = float(dist.analytic_var()[0])
+    np.testing.assert_allclose(var, tgt, rtol=0.15)
+    assert float(np.asarray(ws).mean()) == pytest.approx(0.907, rel=0.05)
+    # counters: ~10-11 evals per chain-step across all 901 steps
+    per_step = eng.grad_evals / (eng.steps_total * eng.nbatch)
+    assert 10.0 <= per_step < 12.0, per_step
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
 def test_pallas_engine_matches_xla_path_statistically():
     """Dwell mass, eval counts, operator mix and moments must agree with
     the reference XLA sampler within MC error (different PRNG streams)."""
