@@ -37,6 +37,7 @@ def leapfrog(
     epsilon: Array | float,
     num_steps: int,
     unroll: int = 1,
+    inv_mass: Array | None = None,
 ) -> Tuple[Array, Array, Array, Array]:
     """Run ``num_steps`` leapfrog steps of size ``epsilon``.
 
@@ -47,6 +48,10 @@ def leapfrog(
       epsilon: step size — scalar or (nbatch,) broadcastable over chains.
       num_steps: static trajectory length M.
       unroll: lax.scan unroll factor for the hot loop.
+      inv_mass: optional diagonal inverse mass matrix M⁻¹, shape (ndims, 1)
+        (broadcast over chains). Momenta are then v ~ N(0, M), kinetic
+        energy ½vᵀM⁻¹v, and positions advance by ε·M⁻¹v — the standard
+        preconditioning for ill-conditioned targets.
 
     Returns:
       (x', v', U(x'), dU/dx at x') after M steps; exactly M gradient evals.
@@ -56,7 +61,8 @@ def leapfrog(
     def body(carry, _):
         x, v, g, _u = carry
         v_half = v - 0.5 * eps * g
-        x_new = x + eps * v_half
+        dx = v_half if inv_mass is None else inv_mass * v_half
+        x_new = x + eps * dx
         u_new, g_new = potential_and_grad(x_new)
         v_new = v_half - 0.5 * eps * g_new
         return (x_new, v_new, g_new, u_new), None
@@ -119,17 +125,25 @@ def masked_leapfrog(
     return x_f, v_f, u_f, g_f, steps
 
 
-def kinetic_energy(v: Array) -> Array:
-    """½‖v‖² per chain: (..., ndims, nbatch) → (..., nbatch).
+def kinetic_energy(v: Array, inv_mass: Array | None = None) -> Array:
+    """½vᵀM⁻¹v per chain: (..., ndims, nbatch) → (..., nbatch).
 
     Rank-polymorphic (reduces the second-to-last axis) so stacked batches —
     e.g. MJHMC's fused forward/backward pair stacked on a leading axis —
     keep the chain axis last and therefore keep its mesh sharding aligned
     (no collectives materialize in the hot loop; see tests/test_collectives).
     """
-    return 0.5 * jnp.sum(v * v, axis=-2)
+    vv = v * v if inv_mass is None else v * v * inv_mass
+    return 0.5 * jnp.sum(vv, axis=-2)
 
 
-def total_energy(u: Array, v: Array) -> Array:
-    """H(ζ) = U(x) + ½‖v‖²."""
-    return u + kinetic_energy(v)
+def total_energy(u: Array, v: Array, inv_mass: Array | None = None) -> Array:
+    """H(ζ) = U(x) + ½vᵀM⁻¹v."""
+    return u + kinetic_energy(v, inv_mass)
+
+
+def momentum_scale(inv_mass: Array | None) -> Array | float:
+    """√M multiplier turning N(0, I) draws into N(0, M) momenta."""
+    if inv_mass is None:
+        return 1.0
+    return jnp.sqrt(1.0 / inv_mass)

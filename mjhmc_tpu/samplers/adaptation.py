@@ -97,6 +97,79 @@ def adaptive_mjhmc_run(
     return state, da, {"moments": acc, "eps_trace": eps_trace}
 
 
+def estimate_inv_mass(acc: "MomentAccumulator") -> Array:
+    """Diagonal M⁻¹ from dwell-weighted sample variances (Stan-style:
+    mass ≈ posterior covariance diagonal ⇒ M⁻¹ = var), shape (ndims, 1).
+    Cross-chain sums lower to psums under sharding."""
+    w = jnp.sum(acc.w)
+    mean = jnp.sum(acc.wx, axis=1) / w
+    var = jnp.sum(acc.wx2, axis=1) / w - mean * mean
+    return jnp.maximum(var, 1e-8)[:, None]
+
+
+def mjhmc_full_warmup(
+    dist: Distribution,
+    key: Array,
+    nbatch: int,
+    beta: float = 0.1,
+    num_leapfrog_steps: int = 5,
+    eps0: float = 0.5,
+    phase1: int = 300,
+    phase2: int = 300,
+    phase3: int = 200,
+    target_accept: float = 0.65,
+):
+    """Stan-style three-phase warmup: (1) dual-average ε with unit mass,
+    (2) continue adapting ε while accumulating variance → set M⁻¹,
+    (3) re-tune ε under the new metric. Returns (state, eps, inv_mass).
+
+    The whole warmup is jit-compatible and collective-correct under a
+    chain-sharded mesh (means/psums only in the adaptation statistics).
+    """
+    from mjhmc_tpu.samplers.state import make_mj_state
+
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    state = make_mj_state(dist, k0, nbatch)
+
+    da = da_init(eps0)
+    state, da, _ = adaptive_mjhmc_run(
+        dist, state, da, k1, phase1, beta, num_leapfrog_steps, target_accept
+    )
+    state, da, aux = adaptive_mjhmc_run(
+        dist, state, da, k2, phase2, beta, num_leapfrog_steps, target_accept
+    )
+    inv_mass = estimate_inv_mass(aux["moments"])
+    # momenta move to N(0, M)
+    state = state._replace(
+        chain=state.chain._replace(v=state.chain.v / jnp.sqrt(inv_mass)),
+        back_valid=jnp.zeros_like(state.back_valid),  # old caches invalid
+    )
+
+    # restart dual averaging from the frozen phase-2 ε (traced — jit-safe)
+    log_eps0 = da.log_eps_bar
+    da = DualAveragingState(
+        step=jnp.int32(0),
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.float32(0.0),
+        mu=jnp.log(10.0) + log_eps0,
+    )
+    keys = jax.random.split(k3, phase3)
+    from mjhmc_tpu.samplers.mjhmc import mjhmc_step
+
+    def body(carry, k):
+        s, d = carry
+        eps = jnp.exp(d.log_eps)
+        s, out = mjhmc_step(
+            dist, s, k, eps, beta, num_leapfrog_steps, inv_mass=inv_mass
+        )
+        d = da_update(d, jnp.mean(out.accept_stat), target=target_accept)
+        return (s, d), None
+
+    (state, da), _ = lax.scan(body, (state, da), keys)
+    return state, da_epsilon(da, frozen=True), inv_mass
+
+
 def adaptive_hmc_run(
     dist: Distribution,
     state: HMCState,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mjhmc_tpu.models.base import Distribution
-from mjhmc_tpu.ops.leapfrog import leapfrog, total_energy
+from mjhmc_tpu.ops.leapfrog import leapfrog, momentum_scale, total_energy
 from mjhmc_tpu.samplers.state import HMCState, make_hmc_state
 from mjhmc_tpu.samplers.mjhmc import MomentAccumulator
 
@@ -43,26 +43,31 @@ def hmc_step(
     num_leapfrog_steps: int,
     unroll: int = 1,
     flip_on_reject: bool = True,
+    inv_mass: Array | None = None,
 ) -> Tuple[HMCState, HMCStepOut]:
     """One control-HMC iteration across all chains.
 
     ``beta`` is the per-step momentum-corruption fraction:
-    v ← √(1−β)·v + √β·ξ, ξ ~ N(0, I). β=1 is standard HMC with full
-    momentum refresh each iteration.
+    v ← √(1−β)·v + √β·ξ, ξ ~ N(0, M). β=1 is standard HMC with full
+    momentum refresh each iteration. ``inv_mass``: optional (ndims, 1)
+    diagonal M⁻¹ preconditioner.
     """
     chain = state.chain
     x, u, g = chain.x, chain.u, chain.grad
     beta = jnp.asarray(beta, jnp.float32)
 
     k_noise, k_mh = jax.random.split(key)
-    xi = jax.random.normal(k_noise, chain.v.shape, chain.v.dtype)
+    xi = momentum_scale(inv_mass) * jax.random.normal(
+        k_noise, chain.v.shape, chain.v.dtype
+    )
     v = jnp.sqrt(1.0 - beta) * chain.v + jnp.sqrt(beta) * xi
 
-    h0 = total_energy(u, v)
+    h0 = total_energy(u, v, inv_mass)
     x_l, v_l, u_l, g_l = leapfrog(
-        dist.potential_and_grad, x, v, g, epsilon, num_leapfrog_steps, unroll
+        dist.potential_and_grad, x, v, g, epsilon, num_leapfrog_steps, unroll,
+        inv_mass=inv_mass,
     )
-    h_l = total_energy(u_l, v_l)
+    h_l = total_energy(u_l, v_l, inv_mass)
 
     log_p = jnp.minimum(0.0, h0 - h_l)
     accept_stat = jnp.exp(log_p)
@@ -96,6 +101,7 @@ def hmc_run(
     unroll: int = 1,
     collect: str = "samples",
     flip_on_reject: bool = True,
+    inv_mass: Array | None = None,
 ) -> Tuple[HMCState, dict]:
     """Scan ``num_steps`` HMC iterations (collect: "samples" | "stats")."""
     keys = jax.random.split(key, num_steps)
@@ -106,7 +112,7 @@ def hmc_run(
         def body(carry, k):
             s, o = hmc_step(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
-                flip_on_reject,
+                flip_on_reject, inv_mass,
             )
             return s, (o.x, o.accept, o.accept_stat)
 
@@ -121,7 +127,7 @@ def hmc_run(
             s, a = carry
             s, o = hmc_step(
                 dist, s, k, epsilon, beta, num_leapfrog_steps, unroll,
-                flip_on_reject,
+                flip_on_reject, inv_mass,
             )
             return (s, a.update(o.x, ones)), None
 
@@ -143,11 +149,26 @@ class ControlHMC:
     seed: int = 0
     unroll: int = 1
     flip_on_reject: bool = True
+    # diagonal mass matrix M per dim (Stan convention: M⁻¹ = target
+    # covariance diagonal ⇒ pass precisions 1/variance here)
+    mass_diag: tuple | None = None
 
     def __post_init__(self):
         self._key = jax.random.key(self.seed)
         self._key, k0 = jax.random.split(self._key)
         self.state = make_hmc_state(self.distribution, k0, self.nbatch)
+        inv_mass = None
+        if self.mass_diag is not None:
+            import numpy as _np
+
+            inv_mass = jnp.asarray(
+                1.0 / _np.asarray(self.mass_diag, _np.float32)
+            )[:, None]
+            self.state = self.state._replace(
+                chain=self.state.chain._replace(
+                    v=self.state.chain.v / jnp.sqrt(inv_mass)
+                )
+            )
         self._run = jax.jit(
             lambda s, k, n_steps, collect: hmc_run(
                 self.distribution,
@@ -160,6 +181,7 @@ class ControlHMC:
                 self.unroll,
                 collect,
                 self.flip_on_reject,
+                inv_mass,
             ),
             static_argnums=(2, 3),
         )

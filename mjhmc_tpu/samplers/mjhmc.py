@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mjhmc_tpu.models.base import Distribution
-from mjhmc_tpu.ops.leapfrog import leapfrog, total_energy
+from mjhmc_tpu.ops.leapfrog import leapfrog, momentum_scale, total_energy
 from mjhmc_tpu.samplers.state import MJState, make_mj_state
 
 Array = jax.Array
@@ -73,6 +73,7 @@ def mjhmc_step(
     num_leapfrog_steps: int,
     unroll: int = 1,
     refresh_fraction: float = 1.0,
+    inv_mass: Array | None = None,
 ) -> Tuple[MJState, MJStepOut]:
     """One Rao-Blackwellized jump iteration for all chains.
 
@@ -80,8 +81,11 @@ def mjhmc_step(
     is the full refresh v ← ξ consistent with the paper (SURVEY.md §3.1
     notes full-vs-partial as the one detail to re-verify against the repo);
     c < 1 gives the partial corruption v ← √(1−c)·v + √c·ξ, which also
-    preserves N(0, I) and hence π-stationarity. Either way the cache is
-    invalidated.
+    preserves the momentum marginal and hence π-stationarity. Either way
+    the cache is invalidated.
+
+    ``inv_mass``: optional (ndims, 1) diagonal M⁻¹ preconditioner — momenta
+    live in N(0, M), H = U + ½vᵀM⁻¹v (see ops.leapfrog).
     """
     chain = state.chain
     x, v, u, g = chain.x, chain.v, chain.u, chain.grad
@@ -89,7 +93,7 @@ def mjhmc_step(
     m = num_leapfrog_steps
     beta = jnp.asarray(beta, jnp.float32)
 
-    h_cur = total_energy(u, v)
+    h_cur = total_energy(u, v, inv_mass)
 
     # ---- fused forward + backward trajectories, stacked on a NEW leading
     # axis (never concatenated along the chain axis: the chain axis is the
@@ -99,12 +103,13 @@ def mjhmc_step(
     v2 = jnp.stack([v, -v])
     g2 = jnp.stack([g, g])
     x2f, v2f, u2f, g2f = leapfrog(
-        dist.potential_and_grad, x2, v2, g2, epsilon, m, unroll=unroll
+        dist.potential_and_grad, x2, v2, g2, epsilon, m, unroll=unroll,
+        inv_mass=inv_mass,
     )
     x_l, v_l = x2f[0], v2f[0]
     u_l, g_l = u2f[0], g2f[0]
-    h_l = total_energy(u_l, v_l)  # H(Lζ)
-    h_back_fresh = total_energy(u2f[1], v2f[1])  # H(L(Fζ)) = H(L⁻¹ζ)
+    h_l = total_energy(u_l, v_l, inv_mass)  # H(Lζ)
+    h_back_fresh = total_energy(u2f[1], v2f[1], inv_mass)  # H(L⁻¹ζ)
 
     cache_err = jnp.where(
         state.back_valid, jnp.abs(state.h_back - h_back_fresh), 0.0
@@ -137,7 +142,7 @@ def mjhmc_step(
     is_r = sel == 2
 
     # ---- apply L / F / R as masked blends ---------------------------------
-    xi = jax.random.normal(k_refresh, v.shape, v.dtype)
+    xi = momentum_scale(inv_mass) * jax.random.normal(k_refresh, v.shape, v.dtype)
     if refresh_fraction >= 1.0:
         v_fresh = xi
     else:
@@ -218,6 +223,7 @@ def mjhmc_run(
     collect: str = "samples",
     thin: int = 1,
     refresh_fraction: float = 1.0,
+    inv_mass: Array | None = None,
 ) -> Tuple[MJState, dict]:
     """Scan ``num_steps`` jump iterations.
 
@@ -233,7 +239,7 @@ def mjhmc_run(
         def body(carry, k):
             s, o = mjhmc_step(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
-                refresh_fraction,
+                refresh_fraction, inv_mass,
             )
             return s, (o.x, o.dwell, o.sel, o.accept_stat, o.cache_err)
 
@@ -255,7 +261,7 @@ def mjhmc_run(
             s, a = carry
             s, o = mjhmc_step(
                 dist, s, k, epsilon, beta, num_leapfrog_steps, unroll,
-                refresh_fraction,
+                refresh_fraction, inv_mass,
             )
             return (s, a.update(o.x, o.dwell)), None
 
@@ -279,11 +285,28 @@ class MarkovJumpHMC:
     nbatch: int = 128
     seed: int = 0
     unroll: int = 1
+    # diagonal mass matrix M per dim. Stan convention: the INVERSE mass is
+    # set to the target covariance diagonal, so pass mass_diag = 1/variance
+    # (precision) for optimal preconditioning.
+    mass_diag: tuple | None = None
 
     def __post_init__(self):
         self._key = jax.random.key(self.seed)
         self._key, k0 = jax.random.split(self._key)
         self.state = make_mj_state(self.distribution, k0, self.nbatch)
+        inv_mass = None
+        if self.mass_diag is not None:
+            import numpy as _np
+
+            inv_mass = jnp.asarray(
+                1.0 / _np.asarray(self.mass_diag, _np.float32)
+            )[:, None]
+            # momenta must start in N(0, M)
+            self.state = self.state._replace(
+                chain=self.state.chain._replace(
+                    v=self.state.chain.v / jnp.sqrt(inv_mass)
+                )
+            )
         self._run = jax.jit(
             lambda s, k, n_steps, collect: mjhmc_run(
                 self.distribution,
@@ -295,6 +318,7 @@ class MarkovJumpHMC:
                 self.num_leapfrog_steps,
                 self.unroll,
                 collect,
+                inv_mass=inv_mass,
             ),
             static_argnums=(2, 3),
         )
