@@ -76,14 +76,24 @@ def nuts_step(
     epsilon: Array | float,
     max_depth: int = 8,
     divergence_threshold: float = 1000.0,
+    inv_mass: Array | None = None,
 ) -> Tuple[NUTSState, NUTSStepOut]:
-    """One NUTS iteration for all chains."""
+    """One NUTS iteration for all chains.
+
+    ``inv_mass``: optional (ndims, 1) diagonal M⁻¹ (Stan convention —
+    set it to the target covariance diagonal). Momenta ~ N(0, M); the
+    U-turn criterion projects Δx onto *velocities* M⁻¹v.
+    """
     d, n = state.x.shape
     eps = jnp.asarray(epsilon, jnp.float32)
+    mscale = 1.0 if inv_mass is None else jnp.sqrt(1.0 / inv_mass)
+
+    def vel(v):  # momentum → velocity (metric-aware U-turn projection)
+        return v if inv_mass is None else inv_mass * v
 
     k_mom, k_tree = jax.random.split(key)
-    v0 = jax.random.normal(k_mom, (d, n), jnp.float32)
-    h0 = total_energy(state.u, v0)
+    v0 = mscale * jax.random.normal(k_mom, (d, n), jnp.float32)
+    h0 = total_energy(state.u, v0, inv_mass)
 
     # tree endpoints (trajectory frame) + cached grads
     x_minus, v_minus, g_minus = state.x, v0, state.grad
@@ -101,7 +111,7 @@ def nuts_step(
 
     def leapfrog1(x, v, g, eps):
         v_half = v - 0.5 * eps * g
-        x_new = x + eps * v_half
+        x_new = x + eps * vel(v_half)
         u_new, g_new = dist.potential_and_grad(x_new)
         v_new = v_half - 0.5 * eps * g_new
         return x_new, v_new, u_new, g_new
@@ -142,7 +152,7 @@ def nuts_step(
             g_c = jnp.where(am, g_n, g_c)
             nl = nl + active.astype(jnp.int32)
 
-            h = total_energy(u_n, v_c)
+            h = total_energy(u_n, v_c, inv_mass)
             delta_h = h - h0
             div_now = active & (~jnp.isfinite(h) | (delta_h > divergence_threshold))
             sub_div = sub_div | div_now
@@ -178,7 +188,7 @@ def nuts_step(
             for m in range(1, j + 1):
                 check = (i + 1) % (2**m) == 0
                 dx = x_c - stack_x[m]
-                t_m = (_dot(dx, stack_v[m]) < 0.0) | (_dot(dx, v_c) < 0.0)
+                t_m = (_dot(dx, vel(stack_v[m])) < 0.0) | (_dot(dx, vel(v_c)) < 0.0)
                 turning = turning | (check & t_m)
             sub_stop = sub_stop | div_now | (active & turning)
 
@@ -224,7 +234,7 @@ def nuts_step(
 
         # overall U-turn between tree endpoints (trajectory frame)
         dx = x_plus - x_minus
-        global_turn = (_dot(dx, v_minus) < 0.0) | (_dot(dx, v_plus) < 0.0)
+        global_turn = (_dot(dx, vel(v_minus)) < 0.0) | (_dot(dx, vel(v_plus)) < 0.0)
         done = done | sub_stop | (ok & global_turn)
 
     new_state = NUTSState(
@@ -250,11 +260,12 @@ def nuts_run(
     num_steps: int,
     epsilon: Array | float,
     max_depth: int = 8,
+    inv_mass: Array | None = None,
 ) -> Tuple[NUTSState, dict]:
     keys = jax.random.split(key, num_steps)
 
     def body(carry, k):
-        s, o = nuts_step(dist, carry, k, epsilon, max_depth)
+        s, o = nuts_step(dist, carry, k, epsilon, max_depth, inv_mass=inv_mass)
         return s, (o.x, o.depth, o.accept_stat, o.diverged)
 
     state, (xs, depth, acc, div) = lax.scan(body, state, keys)
@@ -270,14 +281,24 @@ class NUTS:
     max_depth: int = 8
     nbatch: int = 128
     seed: int = 0
+    # diagonal mass matrix M (Stan convention: pass precisions 1/variance)
+    mass_diag: tuple | None = None
 
     def __post_init__(self):
         self._key = jax.random.key(self.seed)
         self._key, k0 = jax.random.split(self._key)
         self.state = make_nuts_state(self.distribution, k0, self.nbatch)
+        inv_mass = None
+        if self.mass_diag is not None:
+            import numpy as _np
+
+            inv_mass = jnp.asarray(
+                1.0 / _np.asarray(self.mass_diag, _np.float32)
+            )[:, None]
         self._run = jax.jit(
             lambda s, k, n_steps: nuts_run(
-                self.distribution, s, k, n_steps, self.epsilon, self.max_depth
+                self.distribution, s, k, n_steps, self.epsilon,
+                self.max_depth, inv_mass,
             ),
             static_argnums=(2,),
         )

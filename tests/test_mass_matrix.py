@@ -72,6 +72,24 @@ def test_mass_dramatically_improves_mixing():
     assert ess["precond"] > 3.0 * ess["unit"], ess
 
 
+def test_nuts_with_mass_preserves_target_and_shrinks_trees():
+    from mjhmc_tpu.samplers import NUTS
+
+    dist = _dist()
+    mass = tuple(1.0 / float(v) for v in dist.variances)
+    s = NUTS(dist, epsilon=0.7, max_depth=8, nbatch=256, mass_diag=mass, seed=4)
+    s.burn_in(100)
+    out = s.sample(400)
+    xs = np.asarray(out["x"])
+    var = xs.var(axis=(0, 2))
+    np.testing.assert_allclose(var, np.asarray(dist.analytic_var()), rtol=0.25)
+    # preconditioned trees are shallow; unit-mass trees must go much deeper
+    d_pre = float(np.asarray(out["depth"]).mean())
+    s_unit = NUTS(dist, epsilon=0.7, max_depth=8, nbatch=128, seed=4)
+    d_unit = float(np.asarray(s_unit.sample(50)["depth"]).mean())
+    assert d_unit > d_pre + 1.5, (d_unit, d_pre)
+
+
 def test_full_warmup_learns_mass_and_eps():
     dist = _dist()
     state, eps, inv_mass = jax.jit(
