@@ -248,6 +248,7 @@ def _mjhmc_kernel(
     spec: EnergySpec,
     num_steps: int,
     num_leapfrog: int,
+    unroll: int,
     # refs:
     seed_ref,
     eps_ref,
@@ -274,10 +275,19 @@ def _mjhmc_kernel(
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _make_step(spec, params_ref[:], eps_ref[0], beta_ref[0], num_leapfrog)
 
+    # Mosaic fori_loop only supports unroll ∈ {1, full}; unroll manually by
+    # fusing `unroll` iterations into one loop body
+    assert num_steps % unroll == 0
+
+    def body(_, c):
+        for _i in range(unroll):
+            c = step(c)[0]
+        return c
+
     carry = jax.lax.fori_loop(
         0,
-        num_steps,
-        lambda _, c: step(c)[0],
+        num_steps // unroll,
+        body,
         _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
     )
     _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
@@ -400,7 +410,9 @@ class PallasRunOut(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "num_steps", "num_leapfrog", "lane_block", "interpret"),
+    static_argnames=(
+        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret", "unroll"
+    ),
 )
 def pallas_mjhmc_run(
     spec: EnergySpec,
@@ -417,6 +429,7 @@ def pallas_mjhmc_run(
     num_leapfrog: int,
     lane_block: int = 2048,
     interpret: bool = False,
+    unroll: int = 1,
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
@@ -446,7 +459,9 @@ def pallas_mjhmc_run(
         jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
     )
 
-    kernel = functools.partial(_mjhmc_kernel, spec, num_steps, num_leapfrog)
+    if num_steps % unroll:
+        unroll = 1
+    kernel = functools.partial(_mjhmc_kernel, spec, num_steps, num_leapfrog, unroll)
     out = pl.pallas_call(
         kernel,
         grid=grid,
