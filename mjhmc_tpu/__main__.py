@@ -24,14 +24,27 @@ def cmd_sample(args):
     import jax
     from mjhmc_tpu.config import BENCHMARK_CONFIGS
     from mjhmc_tpu.diagnostics import effective_sample_size
-    from mjhmc_tpu.samplers import ControlHMC, MarkovJumpHMC, NUTS
+    from mjhmc_tpu.samplers import MALT, ControlHMC, MarkovJumpHMC, NUTS
 
     cfg = BENCHMARK_CONFIGS[args.config]
     dist = cfg.make_distribution()
-    cls = {"mjhmc": MarkovJumpHMC, "control": ControlHMC, "nuts": NUTS}[args.sampler]
+    cls = {
+        "mjhmc": MarkovJumpHMC,
+        "control": ControlHMC,
+        "nuts": NUTS,
+        "malt": MALT,
+    }[args.sampler]
     kw = dict(nbatch=args.nbatch or cfg.nbatch, seed=args.seed)
     if args.sampler == "nuts":
         s = cls(dist, epsilon=cfg.epsilon, **kw)
+    elif args.sampler == "malt":
+        s = cls(
+            dist,
+            epsilon=cfg.epsilon,
+            gamma=args.gamma,
+            num_leapfrog_steps=cfg.num_leapfrog_steps,
+            **kw,
+        )
     else:
         s = cls(
             dist,
@@ -84,15 +97,26 @@ def cmd_figures(args):
 
 def cmd_search(args):
     from mjhmc_tpu.config import BENCHMARK_CONFIGS
-    from mjhmc_tpu.search import grid_search
+    from mjhmc_tpu.search import bayes_search, grid_search
 
     cfg = BENCHMARK_CONFIGS[args.config]
-    res = grid_search(
-        cfg.make_distribution(),
-        sampler="mjhmc" if args.sampler == "nuts" else args.sampler,
-        num_steps=args.steps,
-        nbatch=args.nbatch or 256,
-    )
+    dist = cfg.make_distribution()
+    sampler = "mjhmc" if args.sampler == "nuts" else args.sampler
+    if args.method == "bayes":
+        res = bayes_search(
+            dist,
+            sampler=sampler,
+            num_iters=args.iters,
+            num_steps=args.steps,
+            nbatch=args.nbatch or 256,
+        )
+    else:
+        res = grid_search(
+            dist,
+            sampler=sampler,
+            num_steps=args.steps,
+            nbatch=args.nbatch or 256,
+        )
     print(json.dumps({"best": res.best, "table": res.table}))
 
 
@@ -179,9 +203,12 @@ def main(argv=None):
 
     sp = sub.add_parser("sample")
     common(sp)
-    sp.add_argument("--sampler", choices=["mjhmc", "control", "nuts"], default="mjhmc")
+    sp.add_argument("--sampler", choices=["mjhmc", "control", "nuts", "malt"],
+                    default="mjhmc")
     sp.add_argument("--steps", type=int, default=1000)
     sp.add_argument("--burn", type=int, default=500)
+    sp.add_argument("--gamma", type=float, default=1.0,
+                    help="MALT friction (only used with --sampler malt)")
     sp.add_argument("--save", default=None, help="npz path for raw samples")
     sp.set_defaults(fn=cmd_sample)
 
@@ -197,6 +224,10 @@ def main(argv=None):
     common(sp)
     sp.add_argument("--sampler", choices=["mjhmc", "control"], default="mjhmc")
     sp.add_argument("--steps", type=int, default=800)
+    sp.add_argument("--method", choices=["grid", "bayes"], default="grid",
+                    help="'bayes' = in-process GP-EI (the Spearmint analogue)")
+    sp.add_argument("--iters", type=int, default=14,
+                    help="BO iterations after the init design (bayes only)")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("smc")

@@ -18,6 +18,7 @@ import numpy as np
 from mjhmc_tpu.diagnostics import weighted_autocorrelation
 from mjhmc_tpu.models.base import Distribution
 from mjhmc_tpu.samplers import (
+    MALT,
     ControlHMC,
     MarkovJumpHMC,
     NUTS,
@@ -30,6 +31,7 @@ SAMPLERS = {
     "mjhmc": MarkovJumpHMC,
     "control": ControlHMC,
     "nuts": NUTS,
+    "malt": MALT,
 }
 
 

@@ -16,6 +16,7 @@ from mjhmc_tpu.samplers.mjhmc import (
     mjhmc_run,
 )
 from mjhmc_tpu.samplers.hmc import ControlHMC, HMCStepOut, hmc_step, hmc_run
+from mjhmc_tpu.samplers.malt import MALT, MALTStepOut, malt_step, malt_run
 from mjhmc_tpu.samplers.chees import (
     CheesState,
     chees_hmc_run,
@@ -47,6 +48,10 @@ __all__ = [
     "HMCStepOut",
     "hmc_step",
     "hmc_run",
+    "MALT",
+    "MALTStepOut",
+    "malt_step",
+    "malt_run",
     "NUTS",
     "NUTSState",
     "NUTSStepOut",
