@@ -10,10 +10,13 @@ state machine, dwell-weighted moment accumulators and eval counters — all
 in VMEM with the on-core PRNG (`pltpu.prng_random_bits`). Zero HBM traffic
 per step beyond the initial/final state, zero kernel launches per step.
 
-Scope: elementwise-separable energies (rough well, diagonal Gaussian) —
-exactly the distributions of the headline benchmarks (BASELINE configs
-1, 2, 4). Heavier energies (product-of-t, sparse coding) stay on the XLA
-path where the MXU matmul dominates and fusion is already optimal.
+Scope: all five BASELINE configs. Elementwise-separable energies (rough
+well, diagonal Gaussian — configs 1, 2, 4) use a (d, 8, L) layout so tiny
+d still fills the sublanes. Matmul energies (product-of-t, sparse coding
+— configs 3, 5) use a 2-D (d, lanes) layout with per-chain scalars as
+(1, lanes); the basis/dictionary matrices are whole-array VMEM inputs and
+the contractions run on the MXU inside the same fused steps-loop, so the
+chain state never touches HBM between iterations.
 
 Layout: chains are reshaped (d, n) → (d, 8, n/8) so the (sublane, lane)
 tile is fully occupied even for d=2 (the plain (2, n) layout wastes 6/8
@@ -38,7 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mjhmc_tpu.models.gaussian import Gaussian
+from mjhmc_tpu.models.product_of_t import ProductOfT
 from mjhmc_tpu.models.rough_well import RoughWell
+from mjhmc_tpu.models.sparse_coding import SparseCoding
 
 Array = jax.Array
 
@@ -104,11 +109,136 @@ class GaussianSpec(EnergySpec):
         return 0.5 * jnp.sum(x * x * params, axis=0)
 
 
+class MatmulEnergySpec(EnergySpec):
+    """Energy with basis/dictionary contractions on the MXU.
+
+    State layout is 2-D (d, lanes); per-chain scalars are (1, lanes).
+    Parameter matrices arrive as separate whole-array VMEM refs (Pallas
+    kernels may not capture array constants): ``param_arrays()`` lists
+    them; ``du``/``u_sum`` receive them positionally after ``x``.
+
+    Specs hold the (frozen, hashable) distribution so they can serve as
+    jit static args while the arrays themselves ride the input path.
+    """
+
+    def param_arrays(self) -> list:
+        raise NotImplementedError
+
+    #: rows of k-sized matmul temporaries alive per lane (VMEM budgeting)
+    def aux_rows(self) -> int:
+        raise NotImplementedError
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — what the XLA
+    # path's einsums use on TPU (models/*.py, preferred f32 accumulate)
+    "highest": jax.lax.Precision.HIGHEST,  # 6 passes, full f32
+    # (Mosaic's dot lowering supports only these two)
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ProductOfTSpec(MatmulEnergySpec):
+    """precision='default' matches the XLA path's TPU einsum precision
+    (one bf16 pass, f32 accumulate); measured statistically equivalent
+    (dwell/evals/moments within MC error) and ~35% faster than 'highest'."""
+
+    dist: ProductOfT
+    precision: str = "default"
+
+    def param_arrays(self):
+        return [np.asarray(self.dist._basis, np.float32)]  # W: (d, k)
+
+    def aux_rows(self) -> int:
+        return self.dist.nbasis
+
+    def _dot(self, a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            precision=_PRECISIONS[self.precision],
+            preferred_element_type=jnp.float32,
+        )
+
+    def _y(self, x, w):  # Wᵀx: (k, lanes)
+        return self._dot(w, x, ((0,), (0,)))
+
+    def du(self, x, w):
+        nu = self.dist.nu
+        y = self._y(x, w)
+        dudy = (nu + 1.0) * y / (nu + y * y)
+        return self._dot(w, dudy, ((1,), (0,)))
+
+    def u_sum(self, x, w):
+        nu = self.dist.nu
+        y = self._y(x, w)
+        return 0.5 * (nu + 1.0) * jnp.sum(
+            jnp.log1p(y * y * (1.0 / nu)), axis=0, keepdims=True
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseCodingSpec(MatmulEnergySpec):
+    """precision defaults to full f32: the fit term ½σ⁻²‖x−Φa‖² amplifies
+    reconstruction error by σ⁻² (=100 at the benchmark σ=0.1), and bf16
+    residuals measurably shift the dwell mass (~2.5%). Set 'default' to
+    trade that bias for ~40% more throughput."""
+
+    dist: SparseCoding
+    precision: str = "highest"
+
+    def param_arrays(self):
+        # host-side numpy only: this runs under an active jit trace, so the
+        # jnp-built .patch property (a Tracer there) must not be touched
+        d = self.dist
+        patch = (
+            np.asarray(d.custom_patch, np.float32)
+            if d.custom_patch is not None
+            else d._patch
+        )
+        return [
+            np.asarray(d._phi, np.float32),  # Φ: (p, b)
+            patch.reshape(-1, 1).astype(np.float32),  # (p, 1)
+        ]
+
+    def aux_rows(self) -> int:
+        return self.dist.npixels
+
+    def _dot(self, a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            precision=_PRECISIONS[self.precision],
+            preferred_element_type=jnp.float32,
+        )
+
+    def _resid(self, a, phi, patch):  # patch − Φa: (p, lanes)
+        return patch - self._dot(phi, a, ((1,), (0,)))
+
+    def du(self, a, phi, patch):
+        d = self.dist
+        s = jnp.sqrt(a * a + d.smooth_eps)
+        r = self._resid(a, phi, patch)
+        return d.lam * (a / s) - (1.0 / d.sigma**2) * self._dot(
+            phi, r, ((0,), (0,))
+        )
+
+    def u_sum(self, a, phi, patch):
+        d = self.dist
+        s = jnp.sqrt(a * a + d.smooth_eps)
+        r = self._resid(a, phi, patch)
+        return d.lam * jnp.sum(s, axis=0, keepdims=True) + (
+            0.5 / d.sigma**2
+        ) * jnp.sum(r * r, axis=0, keepdims=True)
+
+
 def energy_spec_for(dist) -> EnergySpec:
     if isinstance(dist, RoughWell):
         return RoughWellSpec(dist.scale1, dist.scale2, dist.amplitude)
     if isinstance(dist, Gaussian):
         return GaussianSpec(tuple(float(v) for v in 1.0 / dist.variances))
+    if isinstance(dist, ProductOfT):
+        return ProductOfTSpec(dist)
+    if isinstance(dist, SparseCoding):
+        return SparseCodingSpec(dist)
     raise TypeError(
         f"no fused Pallas energy for {type(dist).__name__}; use the XLA path"
     )
@@ -218,6 +348,209 @@ def _make_step(spec: EnergySpec, params, eps, beta, m):
         return (x, v, g, u, h_back, valid, w, wx, wx2, evals), (x_pre, dwell)
 
     return step
+
+
+def _make_step_mm(spec: MatmulEnergySpec, params, eps, beta, m):
+    """Fused jump-iteration body for the 2-D (d, lanes) matmul layout.
+
+    Same semantics as ``_make_step``; per-chain scalars are (1, lanes) so
+    every op stays a 2-D tile (Mosaic-friendly), and the energy's basis
+    contractions run on the MXU via the spec's dot_generals.
+    """
+
+    def leapfrog_pair(x, vf, gf, vb, gb):
+        xf, xb = x, x
+        for _ in range(m):
+            vf_h = vf - (0.5 * eps) * gf
+            xf = xf + eps * vf_h
+            gf = spec.du(xf, *params)
+            vf = vf_h - (0.5 * eps) * gf
+
+            vb_h = vb - (0.5 * eps) * gb
+            xb = xb + eps * vb_h
+            gb = spec.du(xb, *params)
+            vb = vb_h - (0.5 * eps) * gb
+        return xf, vf, gf, xb, vb, gb
+
+    def halfsq(v):  # (d, lanes) -> (1, lanes)
+        return 0.5 * jnp.sum(v * v, axis=0, keepdims=True)
+
+    def step(carry):
+        x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
+        h_cur = u + halfsq(v)
+
+        xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
+        uf = spec.u_sum(xf, *params)
+        h_l = uf + halfsq(vf)
+        h_b_fresh = spec.u_sum(xb, *params) + halfsq(vb)
+        h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
+
+        def log_rate(h_to):
+            raw = -0.5 * (h_to - h_cur)
+            ok = jnp.abs(h_to) < 1e30
+            ok = ok & (h_to == h_to)
+            return jnp.where(ok, jnp.minimum(raw, LOG_RATE_MAX), NEG_INF)
+
+        log_gl = log_rate(h_l)
+        log_glf = log_rate(h_b)
+        gamma_l = jnp.exp(jnp.maximum(log_gl, NEG_INF))
+        gamma_f = jnp.maximum(0.0, jnp.exp(log_glf) - gamma_l)
+        total = gamma_l + gamma_f + beta
+        dwell = 1.0 / total
+
+        u_sel = _uniform(h_cur.shape) * total
+        is_l = u_sel < gamma_l
+        is_f = (~is_l) & (u_sel < gamma_l + gamma_f)
+        is_r = (~is_l) & (~is_f)
+
+        w = w + dwell
+        wx = wx + dwell * x  # (1, lanes) broadcasts over d
+        wx2 = wx2 + dwell * x * x
+        evals = evals + jnp.float32(m) + jnp.float32(m) * (1.0 - valid)
+
+        x_pre = x
+        v_fresh = _normal(x.shape)
+        x = jnp.where(is_l, xf, x)
+        v = jnp.where(is_l, vf, jnp.where(is_f, -v, v_fresh))
+        g = jnp.where(is_l, gf, g)
+        u = jnp.where(is_l, uf, u)
+        h_back = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
+        valid = jnp.where(is_r, 0.0, 1.0)
+        return (x, v, g, u, h_back, valid, w, wx, wx2, evals), (x_pre, dwell)
+
+    return step
+
+
+def _mjhmc_mm_kernel(
+    spec: MatmulEnergySpec,
+    n_params: int,
+    num_steps: int,
+    num_leapfrog: int,
+    unroll: int,
+    *refs,
+):
+    """Matmul-energy variant of ``_mjhmc_kernel`` (2-D layout)."""
+    seed_ref, eps_ref, beta_ref = refs[:3]
+    params = tuple(r[:] for r in refs[3 : 3 + n_params])
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[
+        3 + n_params : 9 + n_params
+    ]
+    outs = refs[9 + n_params :]
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step = _make_step_mm(spec, params, eps_ref[0], beta_ref[0], num_leapfrog)
+
+    assert num_steps % unroll == 0
+
+    def body(_, c):
+        for _i in range(unroll):
+            c = step(c)[0]
+        return c
+
+    carry = jax.lax.fori_loop(
+        0,
+        num_steps // unroll,
+        body,
+        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+    )
+    _write_outs(carry, *outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret", "unroll"
+    ),
+)
+def pallas_mjhmc_mm_run(
+    spec: MatmulEnergySpec,
+    x: Array,  # (d, n)
+    v: Array,
+    g: Array,
+    u: Array,  # (1, n)
+    h_back: Array,
+    back_valid: Array,  # (1, n) float 0/1
+    seed: Array,
+    epsilon: Array,
+    beta: Array,
+    num_steps: int,
+    num_leapfrog: int,
+    lane_block: int = 1024,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> PallasRunOut:
+    """Fused engine run for matmul energies (product-of-t, sparse coding).
+
+    Chain state (x, v, g + trajectory endpoints) lives in VMEM for the
+    whole run; Φ/W and the patch are one-time VMEM inputs; Wᵀx / Φa
+    contractions hit the MXU at f32 (HIGHEST) precision.
+    """
+    d, l = x.shape
+    assert l % _LANES == 0
+    k = spec.aux_rows()
+    # live set per lane, calibrated against Mosaic's scoped-vmem report for
+    # (d=128, k=64): ~32 d-row buffers (carry + trajectory temporaries +
+    # double-buffered IO blocks for the 8 d-row ins/outs) + ~10 k-row matmul
+    # temporaries + scalars
+    bytes_per_lane = (32 * d + 10 * k + 32) * 4
+    lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
+    lb = min(lane_block, lb_budget, l)
+    lb = max(_LANES, lb // _LANES * _LANES)
+    while l % lb:
+        lb -= _LANES
+    grid = (l // lb,)
+
+    def dspec():
+        return pl.BlockSpec((d, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((1, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    params = [jnp.asarray(p) for p in spec.param_arrays()]
+    pspecs = [
+        pl.BlockSpec(
+            p.shape, (lambda i, nd=p.ndim: (0,) * nd), memory_space=pltpu.VMEM
+        )
+        for p in params
+    ]
+
+    if num_steps % unroll:
+        unroll = 1
+    kernel = functools.partial(
+        _mjhmc_mm_kernel, spec, len(params), num_steps, num_leapfrog, unroll
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem]
+        + pspecs
+        + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        out_specs=(
+            dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
+            sspec(), dspec(), dspec(), sspec(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(epsilon, jnp.float32).reshape(1),
+        jnp.asarray(beta, jnp.float32).reshape(1),
+        *params, x, v, g, u, h_back, back_valid,
+    )
+    return PallasRunOut(*out)
 
 
 def _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref):
@@ -590,31 +923,37 @@ def sharded_pallas_mjhmc_run(mesh, *run_args, **run_kwargs):
     Chains are independent, so this is pure SPMD: each device runs the
     kernel on its lane shard with a device-offset PRNG seed; zero
     cross-device communication (shard_map with no collectives). Arrays use
-    the engine layout — (d, 8, L) with L sharded.
+    the engine layout — (d, 8, L) elementwise / (d, n) matmul, last axis
+    sharded; the right kernel is picked from the spec.
     """
     from jax.sharding import PartitionSpec as P
 
     spec = run_args[0]
     x, v, g, u, h_back, back_valid, seed, eps, beta = run_args[1:10]
     rest = run_args[10:]
+    run_fn = (
+        pallas_mjhmc_mm_run
+        if isinstance(spec, MatmulEnergySpec)
+        else pallas_mjhmc_run
+    )
 
     def local(x, v, g, u, h_back, back_valid):
         dev = jax.lax.axis_index("chains")
         dseed = jnp.int32(seed) + dev.astype(jnp.int32) * jnp.int32(131071)
         return tuple(
-            pallas_mjhmc_run(
+            run_fn(
                 spec, x, v, g, u, h_back, back_valid, dseed, eps, beta,
                 *rest, **run_kwargs,
             )
         )
 
-    d3 = P(None, None, "chains")
-    d2 = P(None, "chains")
+    dvec = P(*([None] * (x.ndim - 1) + ["chains"]))  # state arrays
+    dsca = P(*([None] * (u.ndim - 1) + ["chains"]))  # per-chain scalars
     out = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(d3, d3, d3, d2, d2, d2),
-        out_specs=(d3, d3, d3, d2, d2, d2, d2, d3, d3, d2),
+        in_specs=(dvec, dvec, dvec, dsca, dsca, dsca),
+        out_specs=(dvec, dvec, dvec, dsca, dsca, dsca, dsca, dvec, dvec, dsca),
         check_vma=False,  # pallas out_shape carries no vma annotation
     )(x, v, g, u, h_back, back_valid)
     return PallasRunOut(*out)
@@ -641,6 +980,7 @@ class PallasMJHMC:
 
     def __post_init__(self):
         self.spec = energy_spec_for(self.distribution)
+        self._matmul = isinstance(self.spec, MatmulEnergySpec)
         n = ((self.nbatch + 1023) // 1024) * 1024
         self.nbatch = n
         d = self.distribution.ndims
@@ -649,10 +989,13 @@ class PallasMJHMC:
         x = self.distribution.init_x(kx, n)
         v = jax.random.normal(kv, x.shape, jnp.float32)
         u, g = self.distribution.potential_and_grad(x)
-        s, l = _SUBLANES, n // _SUBLANES
-        self.x = x.reshape(d, s, l)
-        self.v = v.reshape(d, s, l)
-        self.g = g.reshape(d, s, l)
+        if self._matmul:
+            s, l = 1, n  # 2-D (d, n) layout; scalars (1, n)
+        else:
+            s, l = _SUBLANES, n // _SUBLANES
+        self.x = x.reshape(d, s, l) if not self._matmul else x
+        self.v = v.reshape(d, s, l) if not self._matmul else v
+        self.g = g.reshape(d, s, l) if not self._matmul else g
         self.u = u.reshape(s, l)
         self.h_back = jnp.zeros((s, l), jnp.float32)
         self.back_valid = jnp.zeros((s, l), jnp.float32)
@@ -663,6 +1006,12 @@ class PallasMJHMC:
     def sample(self, num_emits: int, thin: int = 1):
         """Streaming run: returns (xs, dwell) shaped (num_emits, d, nbatch)
         / (num_emits, nbatch) — the fused-engine ``collect='samples'``."""
+        if self._matmul:
+            raise NotImplementedError(
+                "sample streaming is implemented for elementwise energies; "
+                "matmul energies support run() (stats) — use the XLA path "
+                "for sample collection"
+            )
         xs, ws, out = pallas_mjhmc_stream_run(
             self.spec,
             self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
@@ -692,7 +1041,8 @@ class PallasMJHMC:
         )
 
     def run(self, num_steps: int) -> PallasRunOut:
-        out = pallas_mjhmc_run(
+        run_fn = pallas_mjhmc_mm_run if self._matmul else pallas_mjhmc_run
+        out = run_fn(
             self.spec,
             self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
             jnp.int32(self._step_seed),
@@ -718,6 +1068,7 @@ class PallasMJHMC:
     def moments(out: PallasRunOut):
         """Dwell-weighted (mean, var) per dim from a run's accumulators."""
         w = jnp.sum(out.w)
-        mean = jnp.sum(out.wx, axis=(1, 2)) / w
-        var = jnp.sum(out.wx2, axis=(1, 2)) / w - mean * mean
+        red = tuple(range(1, out.wx.ndim))  # (1,2) for 3-D, (1,) for 2-D
+        mean = jnp.sum(out.wx, axis=red) / w
+        var = jnp.sum(out.wx2, axis=red) / w - mean * mean
         return mean, var

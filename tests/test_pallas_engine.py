@@ -11,9 +11,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell
+from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell, SparseCoding
 from mjhmc_tpu.ops.pallas_mjhmc import (
     GaussianSpec,
+    MatmulEnergySpec,
     RoughWellSpec,
     energy_spec_for,
 )
@@ -38,9 +39,47 @@ def test_energy_spec_codegen_matches_distribution():
         np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), rtol=1e-5)
 
 
+def test_matmul_spec_codegen_matches_distribution():
+    """Matmul-energy specs (2-D layout): u/du == distribution's fused pg,
+    including a custom-patch sparse coder (params built host-side)."""
+    dists = (
+        ProductOfT(ndims=36, nbasis=36),
+        SparseCoding(npixels=64, nbasis=128),
+        SparseCoding.with_patch(np.linspace(-1, 1, 64), nbasis=96),
+    )
+    for dist in dists:
+        spec = energy_spec_for(dist)
+        assert isinstance(spec, MatmulEnergySpec)
+        n = 128
+        x = dist.init_x(jax.random.key(0), n)
+        u_ref, g_ref = dist.potential_and_grad(x)
+        params = [jnp.asarray(p) for p in spec.param_arrays()]
+        u2 = spec.u_sum(x, *params)
+        g2 = spec.du(x, *params)
+        assert u2.shape == (1, n)
+        np.testing.assert_allclose(
+            np.asarray(u2[0]), np.asarray(u_ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_matmul_engine_stream_unsupported():
+    """Matmul energies: run() is the engine API; sample() raises cleanly."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+    eng = PallasMJHMC(ProductOfT(ndims=8, nbasis=8), nbatch=1024)
+    with pytest.raises(NotImplementedError):
+        eng.sample(4)
+
+
 def test_unsupported_energy_raises():
+    class _NoSpec:
+        pass
+
     with pytest.raises(TypeError):
-        energy_spec_for(ProductOfT(ndims=8, nbasis=8))
+        energy_spec_for(_NoSpec())
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
@@ -95,6 +134,79 @@ def test_streaming_engine_matches_moments():
     # counters: ~10-11 evals per chain-step across all 901 steps
     per_step = eng.grad_evals / (eng.steps_total * eng.nbatch)
     assert 10.0 <= per_step < 12.0, per_step
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_matmul_engine_matches_xla_path_statistically():
+    """Product-of-t fused engine (MXU contractions in-kernel) vs the XLA
+    sampler: dwell mass, eval counts and dwell-weighted variances must
+    agree within MC error; variances must also hit the analytic oracle."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.samplers import MarkovJumpHMC
+
+    dist = ProductOfT(ndims=36, nbasis=36)
+    steps = 600
+    eng = PallasMJHMC(
+        dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=5, nbatch=4096, seed=0
+    )
+    eng.run(400)  # burn
+    out = eng.run(steps)
+    dwell_p = float(out.w.sum()) / (eng.nbatch * steps)
+    evals_p = float(out.evals.mean())
+
+    ref = MarkovJumpHMC(
+        dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=5, nbatch=4096, seed=1
+    )
+    ref.burn_in(400)
+    rout = ref.sample(steps)
+    dwell_x = float(np.asarray(rout["dwell"]).mean())
+    evals_x = float(np.asarray(ref.state.grad_evals).mean())
+
+    assert abs(dwell_p - dwell_x) < 0.05 * dwell_x
+    assert abs(evals_p - evals_x) < 0.05 * evals_x
+
+    _, var_p = PallasMJHMC.moments(out)
+    xs = np.asarray(rout["x"])
+    w = np.asarray(rout["dwell"])[:, None, :]
+    var_x = (w * xs**2).sum(axis=(0, 2)) / w.sum()
+    # heavy tails: compare the bulk (median ratio) rather than every dim
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.15, ratio
+    tgt = np.asarray(dist.analytic_var())
+    assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.15
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_sparse_coding_engine_matches_xla_moments():
+    """Sparse-coding fused engine (f32 MXU) vs XLA path on the 128-D
+    posterior: dwell mass, evals, and per-dim dwell-weighted moments."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.samplers import MarkovJumpHMC
+
+    dist = SparseCoding(npixels=64, nbasis=128)
+    steps = 600
+    eng = PallasMJHMC(
+        dist, epsilon=0.02, beta=0.1, num_leapfrog_steps=5, nbatch=2048, seed=0
+    )
+    eng.run(400)
+    out = eng.run(steps)
+    dwell_p = float(out.w.sum()) / (eng.nbatch * steps)
+    mean_p, var_p = PallasMJHMC.moments(out)
+
+    ref = MarkovJumpHMC(
+        dist, epsilon=0.02, beta=0.1, num_leapfrog_steps=5, nbatch=2048, seed=1
+    )
+    ref.burn_in(400)
+    rout = ref.sample(steps)
+    dwell_x = float(np.asarray(rout["dwell"]).mean())
+    xs = np.asarray(rout["x"])
+    w = np.asarray(rout["dwell"])[:, None, :]
+    mean_x = (w * xs).sum(axis=(0, 2)) / w.sum()
+    var_x = (w * xs**2).sum(axis=(0, 2)) / w.sum() - mean_x**2
+
+    assert abs(dwell_p - dwell_x) < 0.05 * dwell_x
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.15, ratio
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
