@@ -156,6 +156,7 @@ def cmd_diagnostics(args):
     from mjhmc_tpu.diagnostics import (
         effective_sample_size,
         empirical_spectral_gap,
+        potential_scale_reduction,
         weighted_autocorrelation,
     )
 
@@ -163,11 +164,14 @@ def cmd_diagnostics(args):
     x = jnp.asarray(data["x"])
     w = jnp.asarray(data["dwell"]) if "dwell" in data else None
     rho = np.asarray(weighted_autocorrelation(x, w, nlags=args.nlags))
+    rhat = np.asarray(potential_scale_reduction(x, w))
     out = {
         "file": args.file,
         "shape": list(x.shape),
         "ess": float(effective_sample_size(x, w)),
         "spectral_gap": empirical_spectral_gap(x, w),
+        "rhat_max": float(rhat.max()),
+        "rhat": rhat[: min(8, len(rhat))].tolist(),
         "rho_first_lags": rho[: min(10, len(rho))].tolist(),
     }
     print(json.dumps(out))

@@ -1,4 +1,5 @@
-"""Diagnostics: weighted autocorrelation, ESS, spectral gaps (SURVEY.md L4)."""
+"""Diagnostics: weighted autocorrelation, ESS, split-R̂, spectral gaps
+(SURVEY.md L4)."""
 
 from mjhmc_tpu.diagnostics.autocorr import (
     weighted_autocorrelation,
@@ -6,6 +7,7 @@ from mjhmc_tpu.diagnostics.autocorr import (
     effective_sample_size,
     autocorrelation_vs_grad_evals,
 )
+from mjhmc_tpu.diagnostics.rhat import potential_scale_reduction
 from mjhmc_tpu.diagnostics.spectral import (
     spectral_gap_discrete,
     spectral_gap_continuous,
@@ -18,6 +20,7 @@ __all__ = [
     "autocorrelation",
     "effective_sample_size",
     "autocorrelation_vs_grad_evals",
+    "potential_scale_reduction",
     "spectral_gap_discrete",
     "spectral_gap_continuous",
 ]
