@@ -85,9 +85,10 @@ def calculate_autocorrelation(
 ) -> ACResult:
     """Run ``sampler`` on ``dist``; return the ρ-vs-grad-evals curve.
 
-    ``engine="pallas"`` (MJHMC on fused-energy distributions, TPU only)
-    streams samples from the fused kernel at full engine speed
-    (ops.pallas_mjhmc.PallasMJHMC.sample).
+    ``engine="pallas"`` (MJHMC only, TPU only) streams samples from the
+    fused kernel at full engine speed (ops.pallas_mjhmc.PallasMJHMC.sample)
+    — supported for all five benchmark energies (elementwise and matmul
+    engine layouts).
     """
     if engine == "pallas":
         if sampler != "mjhmc":

@@ -728,6 +728,194 @@ def _mjhmc_stream_kernel(
                 valido_ref, w_ref, wx_ref, wx2_ref, evals_ref)
 
 
+def _mjhmc_mm_stream_kernel(
+    spec: MatmulEnergySpec,
+    n_params: int,
+    num_emits: int,
+    thin: int,
+    num_leapfrog: int,
+    d_pad: int,
+    *refs,
+):
+    """Streaming variant of ``_mjhmc_mm_kernel``: every ``thin``-th
+    iteration's Rao-Blackwell emission (pre-transition x, dwell) is
+    double-buffered through VMEM scratch and DMA'd to HBM while the
+    sampler keeps running — same protocol as ``_mjhmc_stream_kernel``
+    on the 2-D matmul layout.
+    """
+    seed_ref, eps_ref, beta_ref = refs[:3]
+    params = tuple(r[:] for r in refs[3 : 3 + n_params])
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[
+        3 + n_params : 9 + n_params
+    ]
+    xs_ref, ws_ref = refs[9 + n_params : 11 + n_params]  # HBM (ANY)
+    outs = refs[11 + n_params : 21 + n_params]
+    xscr_ref, wscr_ref, sem_x, sem_w = refs[21 + n_params :]
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step = _make_step_mm(spec, params, eps_ref[0], beta_ref[0], num_leapfrog)
+    i = pl.program_id(0)
+    lb = xscr_ref.shape[-1]
+    lane0 = pl.multiple_of(i * lb, 128)
+
+    def dma_pair(slot, t):
+        dx = pltpu.make_async_copy(
+            xscr_ref.at[slot],
+            xs_ref.at[t, :, pl.ds(lane0, lb)],
+            sem_x.at[slot],
+        )
+        dw = pltpu.make_async_copy(
+            wscr_ref.at[slot],
+            ws_ref.at[t, :, pl.ds(lane0, lb)],
+            sem_w.at[slot],
+        )
+        return dx, dw
+
+    def emit_body(t, carry):
+        carry = jax.lax.fori_loop(0, thin - 1, lambda _, c: step(c)[0], carry)
+        carry, (x_pre, dwell) = step(carry)
+
+        # scratch/HBM stream rows are padded to a sublane multiple: Mosaic
+        # cannot slice the slot axis of a (2, d, lb) buffer unless d is
+        # 8-aligned, so emit d_pad rows and strip host-side
+        d = x_pre.shape[0]
+        if d_pad != d:
+            x_pre = jnp.concatenate(
+                [x_pre, jnp.zeros((d_pad - d,) + x_pre.shape[1:], x_pre.dtype)],
+                axis=0,
+            )
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t >= 2)
+        def _():
+            dx, dw = dma_pair(slot, t - 2)
+            dx.wait()
+            dw.wait()
+
+        xscr_ref[slot] = x_pre
+        wscr_ref[slot] = dwell
+        dx, dw = dma_pair(slot, t)
+        dx.start()
+        dw.start()
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0,
+        num_emits,
+        emit_body,
+        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+    )
+
+    for back in (2, 1):
+
+        @pl.when(num_emits >= back)
+        def _(back=back):
+            t = num_emits - back
+            dx, dw = dma_pair(jax.lax.rem(t, 2), t)
+            dx.wait()
+            dw.wait()
+
+    _write_outs(carry, *outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_emits", "thin", "num_leapfrog", "lane_block"),
+)
+def pallas_mjhmc_mm_stream_run(
+    spec: MatmulEnergySpec,
+    x: Array,  # (d, n)
+    v: Array,
+    g: Array,
+    u: Array,  # (1, n)
+    h_back: Array,
+    back_valid: Array,
+    seed: Array,
+    epsilon: Array,
+    beta: Array,
+    num_emits: int,
+    thin: int,
+    num_leapfrog: int,
+    lane_block: int = 1024,
+):
+    """Streaming matmul-engine run: ``num_emits`` thinned Rao-Blackwell
+    emissions, (xs (num_emits, d, n), ws (num_emits, 1, n), PallasRunOut).
+    """
+    d, l = x.shape
+    d_pad = -(-d // _SUBLANES) * _SUBLANES  # streamed rows, sublane-aligned
+    assert l % _LANES == 0
+    k = spec.aux_rows()
+    bytes_per_lane = (36 * d + 10 * k + 40) * 4  # + streaming scratch
+    lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
+    lb = min(lane_block, lb_budget, l)
+    lb = max(_LANES, lb // _LANES * _LANES)
+    while l % lb:
+        lb -= _LANES
+    grid = (l // lb,)
+
+    def dspec():
+        return pl.BlockSpec((d, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def sspec():
+        return pl.BlockSpec((1, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    params = [jnp.asarray(p) for p in spec.param_arrays()]
+    pspecs = [
+        pl.BlockSpec(
+            p.shape, (lambda i, nd=p.ndim: (0,) * nd), memory_space=pltpu.VMEM
+        )
+        for p in params
+    ]
+
+    kernel = functools.partial(
+        _mjhmc_mm_stream_kernel, spec, len(params), num_emits, thin,
+        num_leapfrog, d_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem, smem]
+        + pspecs
+        + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        out_specs=(
+            anyspec, anyspec,
+            dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
+            sspec(), dspec(), dspec(), sspec(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_emits, d_pad, l), jnp.float32),
+            jax.ShapeDtypeStruct((num_emits, 1, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d_pad, lb), jnp.float32),
+            pltpu.VMEM((2, 1, lb), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(epsilon, jnp.float32).reshape(1),
+        jnp.asarray(beta, jnp.float32).reshape(1),
+        *params, x, v, g, u, h_back, back_valid,
+    )
+    xs, ws = out[0][:, :d, :], out[1]  # strip sublane padding rows
+    return xs, ws, PallasRunOut(*out[2:])
+
+
 class PallasRunOut(NamedTuple):
     x: Array
     v: Array
@@ -1006,13 +1194,10 @@ class PallasMJHMC:
     def sample(self, num_emits: int, thin: int = 1):
         """Streaming run: returns (xs, dwell) shaped (num_emits, d, nbatch)
         / (num_emits, nbatch) — the fused-engine ``collect='samples'``."""
-        if self._matmul:
-            raise NotImplementedError(
-                "sample streaming is implemented for elementwise energies; "
-                "matmul energies support run() (stats) — use the XLA path "
-                "for sample collection"
-            )
-        xs, ws, out = pallas_mjhmc_stream_run(
+        stream_fn = (
+            pallas_mjhmc_mm_stream_run if self._matmul else pallas_mjhmc_stream_run
+        )
+        xs, ws, out = stream_fn(
             self.spec,
             self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
             jnp.int32(self._step_seed),

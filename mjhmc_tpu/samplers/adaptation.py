@@ -196,3 +196,38 @@ def adaptive_hmc_run(
 
     (state, da, acc), eps_trace = lax.scan(body, (state, da, acc0), keys)
     return state, da, {"moments": acc, "eps_trace": eps_trace}
+
+
+def adaptive_malt_run(
+    dist: Distribution,
+    state: HMCState,
+    da: DualAveragingState,
+    key: Array,
+    num_steps: int,
+    gamma: Array | float,
+    num_leapfrog_steps: int,
+    target_accept: float = 0.8,
+    unroll: int = 1,
+) -> Tuple[HMCState, DualAveragingState, dict]:
+    """Warmup scan for MALT with dual averaging on the step size.
+
+    The trajectory-level acceptance statistic min(1, exp(−Δ)) plays the
+    same role as HMC's; the MALT paper targets higher acceptance (~0.8)
+    than HMC's 0.65 because Δ aggregates L leapfrog errors.
+    """
+    from mjhmc_tpu.samplers.malt import malt_step
+
+    keys = jax.random.split(key, num_steps)
+    ndims, nbatch = state.chain.x.shape
+    acc0 = MomentAccumulator.init(ndims, nbatch)
+    ones = jnp.ones((nbatch,), jnp.float32)
+
+    def body(carry, k):
+        s, d, a = carry
+        eps = jnp.exp(d.log_eps)
+        s, out = malt_step(dist, s, k, eps, gamma, num_leapfrog_steps, unroll)
+        d = da_update(d, jnp.mean(out.accept_stat), target=target_accept)
+        return (s, d, a.update(out.x, ones)), eps
+
+    (state, da, acc), eps_trace = lax.scan(body, (state, da, acc0), keys)
+    return state, da, {"moments": acc, "eps_trace": eps_trace}

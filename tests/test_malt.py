@@ -113,3 +113,26 @@ def test_mass_matrix_preconditioning():
     xs = np.asarray(out["x"])
     np.testing.assert_allclose(xs.var(axis=(0, 2)), var, rtol=0.15)
     assert np.asarray(out["accept"]).mean() > 0.8
+
+
+def test_dual_averaging_adapts_malt_step():
+    """Warmup drives the acceptance statistic to the target."""
+    from mjhmc_tpu.samplers.adaptation import (
+        adaptive_malt_run,
+        da_epsilon,
+        da_init,
+    )
+
+    dist = Gaussian(ndims=4, log_conditioning=1.0)
+    st0 = make_hmc_state(dist, jax.random.key(0), 256)
+    st, da, aux = adaptive_malt_run(
+        dist, st0, da_init(1e-3), jax.random.key(1), 400, 1.0, 5,
+        target_accept=0.8,
+    )
+    eps = float(da_epsilon(da, frozen=True))
+    assert 0.05 < eps < 2.0, eps
+    # frozen step size should land near the target acceptance
+    s = MALT(dist, epsilon=eps, gamma=1.0, num_leapfrog_steps=5, nbatch=512)
+    s.burn_in(100)
+    acc = float(np.asarray(s.sample(200)["accept_stat"]).mean())
+    assert abs(acc - 0.8) < 0.12, (eps, acc)

@@ -65,13 +65,28 @@ def test_matmul_spec_codegen_matches_distribution():
         )
 
 
-def test_matmul_engine_stream_unsupported():
-    """Matmul energies: run() is the engine API; sample() raises cleanly."""
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_matmul_engine_streaming_matches_accumulators():
+    """Matmul-engine streamed (x, dwell) pairs reproduce the in-kernel
+    dwell-weighted moment accumulators (product-of-t)."""
     from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
 
-    eng = PallasMJHMC(ProductOfT(ndims=8, nbasis=8), nbatch=1024)
-    with pytest.raises(NotImplementedError):
-        eng.sample(4)
+    dist = ProductOfT(ndims=36, nbasis=36)
+    eng = PallasMJHMC(
+        dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=5, nbatch=1024, seed=7
+    )
+    eng.run(400)  # burn in before both measurement windows
+    xs, ws = eng.sample(400)
+    assert xs.shape == (400, 36, eng.nbatch) and ws.shape == (400, eng.nbatch)
+    w = np.asarray(ws)[:, None, :]
+    x = np.asarray(xs)
+    var_stream = (w * x**2).sum(axis=(0, 2)) / w.sum() - (
+        (w * x).sum(axis=(0, 2)) / w.sum()
+    ) ** 2
+    out = eng.run(400)
+    _, var_acc = PallasMJHMC.moments(out)
+    ratio = var_stream / np.asarray(var_acc)
+    assert abs(np.median(ratio) - 1.0) < 0.2, ratio
 
 
 def test_unsupported_energy_raises():
