@@ -46,11 +46,15 @@ def fig_autocorr_overlay(out_dir: str, quick: bool = False):
     fig, axes = plt.subplots(1, len(dists), figsize=(5 * len(dists), 4))
     artifacts = {}
     for ax, (name, (dist, kw)) in zip(np.atleast_1d(axes), dists.items()):
-        for sampler, beta in (("mjhmc", 0.1), ("control", 0.2)):
+        for sampler, skw in (
+            ("mjhmc", dict(beta=0.1)),
+            ("control", dict(beta=0.2)),
+            ("malt", dict(gamma=1.0)),
+        ):
             res = calculate_autocorrelation(
                 dist, sampler, num_steps=steps, nbatch=nbatch,
-                nlags=min(200, steps // 4), beta=beta,
-                use_cached_init=not quick, **kw,
+                nlags=min(200, steps // 4),
+                use_cached_init=not quick, **skw, **kw,
             )
             ax.plot(res.grad_evals, res.rho, label=f"{sampler} (τ={res.decay_evals:.0f})")
             artifacts[f"{name}_{sampler}_evals"] = res.grad_evals
