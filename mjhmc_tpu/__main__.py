@@ -24,13 +24,20 @@ def cmd_sample(args):
     import jax
     from mjhmc_tpu.config import BENCHMARK_CONFIGS
     from mjhmc_tpu.diagnostics import effective_sample_size
-    from mjhmc_tpu.samplers import MALT, ControlHMC, MarkovJumpHMC, NUTS
+    from mjhmc_tpu.samplers import (
+        MALT,
+        ControlHMC,
+        MarkovJumpHMC,
+        NUTS,
+        ReducedFlipHMC,
+    )
 
     cfg = BENCHMARK_CONFIGS[args.config]
     dist = cfg.make_distribution()
     cls = {
         "mjhmc": MarkovJumpHMC,
         "control": ControlHMC,
+        "reduced_flip": ReducedFlipHMC,
         "nuts": NUTS,
         "malt": MALT,
     }[args.sampler]
@@ -207,7 +214,8 @@ def main(argv=None):
 
     sp = sub.add_parser("sample")
     common(sp)
-    sp.add_argument("--sampler", choices=["mjhmc", "control", "nuts", "malt"],
+    sp.add_argument("--sampler",
+                    choices=["mjhmc", "control", "reduced_flip", "nuts", "malt"],
                     default="mjhmc")
     sp.add_argument("--steps", type=int, default=1000)
     sp.add_argument("--burn", type=int, default=500)

@@ -22,6 +22,7 @@ from mjhmc_tpu.samplers import (
     ControlHMC,
     MarkovJumpHMC,
     NUTS,
+    ReducedFlipHMC,
 )
 from mjhmc_tpu.utils.init_cache import burned_in_init
 
@@ -30,6 +31,7 @@ Array = jax.Array
 SAMPLERS = {
     "mjhmc": MarkovJumpHMC,
     "control": ControlHMC,
+    "reduced_flip": ReducedFlipHMC,
     "nuts": NUTS,
     "malt": MALT,
 }

@@ -28,6 +28,7 @@ from mjhmc_tpu.samplers.algebraic import (
     continuous_rate_matrix,
     discrete_transition_matrix,
     random_ladder_energies,
+    reduced_flip_transition_matrix,
 )
 
 
@@ -76,24 +77,32 @@ def fig_spectral_gap(out_dir: str, quick: bool = False):
     betas = np.linspace(0.05, 1.0, 5 if quick else 12)
     n_draws = 3 if quick else 10
 
-    gaps_k = {"continuous": [], "discrete": []}
+    gaps_k = {"continuous": [], "reduced flip": [], "discrete": []}
     for k in ks:
-        gc, gd = [], []
+        gc, gr, gd = [], [], []
         for d in range(n_draws):
             e = random_ladder_energies(jax.random.key(d), k)
             gc.append(spectral_gap_continuous(continuous_rate_matrix(e, 0.3)))
+            gr.append(
+                spectral_gap_discrete(reduced_flip_transition_matrix(e, 0.3))
+            )
             gd.append(spectral_gap_discrete(discrete_transition_matrix(e, 0.3)))
         gaps_k["continuous"].append(np.mean(gc))
+        gaps_k["reduced flip"].append(np.mean(gr))
         gaps_k["discrete"].append(np.mean(gd))
 
-    gaps_b = {"continuous": [], "discrete": []}
+    gaps_b = {"continuous": [], "reduced flip": [], "discrete": []}
     for b in betas:
-        gc, gd = [], []
+        gc, gr, gd = [], [], []
         for d in range(n_draws):
             e = random_ladder_energies(jax.random.key(100 + d), 16)
             gc.append(spectral_gap_continuous(continuous_rate_matrix(e, float(b))))
+            gr.append(
+                spectral_gap_discrete(reduced_flip_transition_matrix(e, float(b)))
+            )
             gd.append(spectral_gap_discrete(discrete_transition_matrix(e, float(b))))
         gaps_b["continuous"].append(np.mean(gc))
+        gaps_b["reduced flip"].append(np.mean(gr))
         gaps_b["discrete"].append(np.mean(gd))
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
@@ -115,6 +124,7 @@ def fig_spectral_gap(out_dir: str, quick: bool = False):
         ks=np.array(ks), betas=betas,
         cont_k=np.array(gaps_k["continuous"]), disc_k=np.array(gaps_k["discrete"]),
         cont_b=np.array(gaps_b["continuous"]), disc_b=np.array(gaps_b["discrete"]),
+        rf_k=np.array(gaps_k["reduced flip"]), rf_b=np.array(gaps_b["reduced flip"]),
     )
     plt.close(fig)
 

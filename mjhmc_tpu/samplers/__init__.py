@@ -16,6 +16,12 @@ from mjhmc_tpu.samplers.mjhmc import (
     mjhmc_run,
 )
 from mjhmc_tpu.samplers.hmc import ControlHMC, HMCStepOut, hmc_step, hmc_run
+from mjhmc_tpu.samplers.reduced_flip import (
+    ReducedFlipHMC,
+    RFStepOut,
+    reduced_flip_hmc_step,
+    reduced_flip_hmc_run,
+)
 from mjhmc_tpu.samplers.malt import MALT, MALTStepOut, malt_step, malt_run
 from mjhmc_tpu.samplers.chees import (
     CheesState,
@@ -48,6 +54,10 @@ __all__ = [
     "HMCStepOut",
     "hmc_step",
     "hmc_run",
+    "ReducedFlipHMC",
+    "RFStepOut",
+    "reduced_flip_hmc_step",
+    "reduced_flip_hmc_run",
     "MALT",
     "MALTStepOut",
     "malt_step",

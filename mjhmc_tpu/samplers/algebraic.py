@@ -113,6 +113,50 @@ def discrete_transition_matrix(
     return c @ m
 
 
+def reduced_flip_transition_matrix(
+    energies: np.ndarray, beta: float
+) -> np.ndarray:
+    """Column-stochastic matrix of **reduced-flip HMC** on the ladder.
+
+    The paper's discrete-time variant between control HMC and the jump
+    process (SURVEY.md §2.4 "reduced-flip variant"): instead of flipping on
+    *every* rejection, flip only with the excess backward leap probability
+
+        p_leap(k,d)  = min(1, exp(E_k − E_{k+d}))
+        p_flip(k,d)  = max(0, p_leap(k,−d) − p_leap(k,d))
+        p_stay       = 1 − p_leap − p_flip.
+
+    This is the discrete-time analogue of the F-clock's max(0, ·) rate and
+    is π-stationary by the same telescoping balance (in-flow to (k,d):
+    π(k−d)·p_leap(k−d,d) + π(k)·p_flip(k,−d) equals the out-flow
+    π(k)·[p_leap + p_flip]; note p_leap + p_flip = max(p_leap fwd, bwd) ≤ 1
+    so probabilities are valid). Composed with the same β/2 direction
+    corruption kernel as ``discrete_transition_matrix``.
+    """
+    e = np.asarray(energies, np.float64)
+    k = e.shape[0]
+    n = 2 * k
+    s = np.arange(n)
+    rung, d = _split_state(s, k)
+
+    def idx(rung, d):
+        return np.where(d > 0, rung % k, k + (rung % k))
+
+    q = beta / 2.0
+    c = np.zeros((n, n))
+    c[s, s] += 1.0 - q
+    c[idx(rung, -d), s] += q
+
+    p_leap = np.minimum(1.0, np.exp(e[rung] - e[(rung + d) % k]))
+    p_leap_b = np.minimum(1.0, np.exp(e[rung] - e[(rung - d) % k]))
+    p_flip = np.maximum(0.0, p_leap_b - p_leap)
+    m = np.zeros((n, n))
+    m[idx(rung + d, d), s] += p_leap
+    m[idx(rung, -d), s] += p_flip
+    m[s, s] += 1.0 - p_leap - p_flip
+    return m @ c
+
+
 class LadderSim(NamedTuple):
     """Empirical dwell-weighted occupation from simulating the jump chain."""
 

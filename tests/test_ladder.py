@@ -107,6 +107,46 @@ def test_jump_chain_beats_discrete_hmc_on_rough_ladders():
     assert mean_ratio(0.5) > 0.7  # smooth: comparable (no big loss)
 
 
+def test_reduced_flip_stationary_is_boltzmann():
+    """The reduced-flip variant (SURVEY.md §2.4) must be exactly
+    π-stationary: validates the discrete max(0,·) flip construction."""
+    from mjhmc_tpu.samplers.algebraic import reduced_flip_transition_matrix
+
+    for seed in range(3):
+        e = _energies(seed)
+        t = reduced_flip_transition_matrix(e, beta=0.4)
+        assert (t >= -1e-14).all()
+        np.testing.assert_allclose(t.sum(axis=0), 1.0, atol=1e-12)
+        pi = ladder_stationary(e)
+        np.testing.assert_allclose(t @ pi, pi, atol=1e-12)
+
+
+def test_reduced_flip_between_discrete_and_jump():
+    """Paper ordering at matched per-iteration budget: reduced-flip mixes at
+    least as fast as flip-on-reject HMC on average, and the embedded jump
+    chain dominates both on rough ladders. Matrix-exact."""
+    from mjhmc_tpu.samplers.algebraic import (
+        embedded_jump_chain,
+        reduced_flip_transition_matrix,
+    )
+
+    def gaps(scale, n_draws=8):
+        rr, rd, rj = [], [], []
+        for seed in range(n_draws):
+            e = random_ladder_energies(jax.random.key(seed), 12, scale)
+            rr.append(
+                spectral_gap_discrete(reduced_flip_transition_matrix(e, 0.3))
+            )
+            rd.append(spectral_gap_discrete(discrete_transition_matrix(e, 0.3)))
+            rj.append(spectral_gap_discrete(embedded_jump_chain(e, 0.3)))
+        return np.mean(rr), np.mean(rd), np.mean(rj)
+
+    for scale in (1.0, 2.0, 4.0):
+        rf, d, j = gaps(scale)
+        assert rf >= d * 0.999, f"reduced-flip < discrete at scale {scale}"
+        assert j >= rf * 1.2, f"jump chain should dominate at scale {scale}"
+
+
 def test_simulated_discrete_ladder_matches_matrix():
     """Empirical occupation of the simulated control-HMC ladder chain must
     match the transition matrix's stationary law within MC error."""
