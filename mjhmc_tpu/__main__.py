@@ -29,6 +29,7 @@ def cmd_sample(args):
         ControlHMC,
         MarkovJumpHMC,
         NUTS,
+        ParallelTempering,
         ReducedFlipHMC,
     )
 
@@ -40,10 +41,20 @@ def cmd_sample(args):
         "reduced_flip": ReducedFlipHMC,
         "nuts": NUTS,
         "malt": MALT,
+        "pt": ParallelTempering,
     }[args.sampler]
     kw = dict(nbatch=args.nbatch or cfg.nbatch, seed=args.seed)
     if args.sampler == "nuts":
         s = cls(dist, epsilon=cfg.epsilon, **kw)
+    elif args.sampler == "pt":
+        s = cls(
+            dist,
+            epsilon=cfg.epsilon,
+            num_leapfrog_steps=cfg.num_leapfrog_steps,
+            num_temps=args.num_temps,
+            beta_min=args.beta_min,
+            **kw,
+        )
     elif args.sampler == "malt":
         s = cls(
             dist,
@@ -215,12 +226,16 @@ def main(argv=None):
     sp = sub.add_parser("sample")
     common(sp)
     sp.add_argument("--sampler",
-                    choices=["mjhmc", "control", "reduced_flip", "nuts", "malt"],
+                    choices=["mjhmc", "control", "reduced_flip", "nuts", "malt", "pt"],
                     default="mjhmc")
     sp.add_argument("--steps", type=int, default=1000)
     sp.add_argument("--burn", type=int, default=500)
     sp.add_argument("--gamma", type=float, default=1.0,
                     help="MALT friction (only used with --sampler malt)")
+    sp.add_argument("--num-temps", type=int, default=6,
+                    help="temperature-ladder size (only used with --sampler pt)")
+    sp.add_argument("--beta-min", type=float, default=0.05,
+                    help="coldest inverse temperature (only with --sampler pt)")
     sp.add_argument("--save", default=None, help="npz path for raw samples")
     sp.set_defaults(fn=cmd_sample)
 

@@ -109,6 +109,23 @@ BENCHMARK_CONFIGS = {
         num_leapfrog_steps=10,
         description="50D ill-conditioned Gaussian, spectral-gap/autocorr diagnostics",
     ),
+    # beyond-reference: multimodal benchmark for the tempering head
+    "mog": BenchmarkConfig(
+        name="mog",
+        distribution="mog",
+        dist_kwargs=(
+            ("ndims", 1),
+            ("means", ((-4.0,), (4.0,))),
+            ("scales", (0.8, 0.8)),
+            ("weights", (0.5, 0.5)),
+        ),
+        sampler="pt",
+        nbatch=1024,
+        epsilon=0.4,
+        beta=1.0,
+        num_leapfrog_steps=5,
+        description="Two-mode Gaussian mixture (≈12.5 kT barrier), parallel tempering",
+    ),
     # BASELINE.json config 5
     "sparse_coding": BenchmarkConfig(
         name="sparse_coding",

@@ -10,6 +10,7 @@ from mjhmc_tpu.models.gaussian import Gaussian
 from mjhmc_tpu.models.rough_well import RoughWell
 from mjhmc_tpu.models.product_of_t import ProductOfT
 from mjhmc_tpu.models.sparse_coding import SparseCoding
+from mjhmc_tpu.models.mog import GaussianMixture
 
 __all__ = [
     "Distribution",
@@ -20,4 +21,5 @@ __all__ = [
     "RoughWell",
     "ProductOfT",
     "SparseCoding",
+    "GaussianMixture",
 ]

@@ -29,6 +29,15 @@ from mjhmc_tpu.samplers.chees import (
     chees_hmc_step,
     chees_init,
 )
+from mjhmc_tpu.samplers.tempering import (
+    ParallelTempering,
+    PTState,
+    PTStepOut,
+    geometric_ladder,
+    make_pt_state,
+    pt_step,
+    pt_run,
+)
 from mjhmc_tpu.samplers.nuts import (
     NUTS,
     NUTSState,
@@ -72,4 +81,11 @@ __all__ = [
     "chees_hmc_run",
     "chees_hmc_step",
     "chees_init",
+    "ParallelTempering",
+    "PTState",
+    "PTStepOut",
+    "geometric_ladder",
+    "make_pt_state",
+    "pt_step",
+    "pt_run",
 ]
