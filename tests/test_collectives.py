@@ -62,6 +62,37 @@ def test_sampler_hot_loop_is_collective_free():
         assert op not in hlo, f"sampler hot loop contains {op}"
 
 
+def test_pt_hot_loop_is_collective_free():
+    """Parallel tempering under chain sharding: the temperature ladder is a
+    replicated leading axis, replica exchange is roll/where along it, and
+    the chain axis is never concatenated/sliced — so the compiled step must
+    contain zero cross-device ops, same guarantee as the MJHMC loop."""
+    from mjhmc_tpu.models import GaussianMixture
+    from mjhmc_tpu.samplers.tempering import (
+        geometric_ladder,
+        make_pt_state,
+        pt_run,
+    )
+
+    dist = GaussianMixture()
+    mesh = make_chain_mesh(8)
+    st = shard_chain_pytree(
+        make_pt_state(dist, jax.random.key(0), 128, 4), mesh
+    )
+    betas = jnp.asarray(geometric_ladder(4, 0.05))
+    fn = jax.jit(
+        lambda s, k: pt_run(dist, s, k, 4, betas, 0.4, 5, collect="stats")
+    )
+    compiled = fn.lower(st, jax.random.key(1)).compile()
+    hlo = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+               "reduce-scatter"):
+        assert op not in hlo, f"PT hot loop contains {op}"
+    # and it actually runs sharded
+    s2, out = fn(st, jax.random.key(2))
+    assert np.isfinite(np.asarray(out["moments"].mean())).all()
+
+
 def test_adaptive_loop_has_exactly_cross_chain_reduction():
     """The adaptive warmup DOES reduce across chains (accept-stat mean) —
     the one collective allowed in the loop (SURVEY.md §5.8)."""
