@@ -71,6 +71,8 @@ def cmd_sample(args):
             num_leapfrog_steps=cfg.num_leapfrog_steps,
             **kw,
         )
+    if args.sampler == "pt" and args.adapt_ladder:
+        s.adapt_ladder()
     s.burn_in(args.burn)
     out = s.sample(args.steps)
     xs = np.asarray(out["x"])
@@ -94,6 +96,9 @@ def cmd_sample(args):
         "ess": ess,
         "ess_per_grad_eval": ess / max(s.grad_evals, 1),
     }
+    if args.sampler == "pt":
+        rec["betas"] = np.asarray(s.betas).tolist()
+        rec["swap_rates"] = np.asarray(s.swap_rates).tolist()
     if args.save:
         np.savez(args.save, x=xs, **({"dwell": w} if w is not None else {}))
         rec["saved"] = args.save
@@ -236,6 +241,8 @@ def main(argv=None):
                     help="temperature-ladder size (only used with --sampler pt)")
     sp.add_argument("--beta-min", type=float, default=0.05,
                     help="coldest inverse temperature (only with --sampler pt)")
+    sp.add_argument("--adapt-ladder", action="store_true",
+                    help="tune the PT β ladder to uniform swap rates first")
     sp.add_argument("--save", default=None, help="npz path for raw samples")
     sp.set_defaults(fn=cmd_sample)
 

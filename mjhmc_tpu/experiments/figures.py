@@ -158,10 +158,66 @@ def fig_trajectory_fan(out_dir: str, quick: bool = False):
     plt.close(fig)
 
 
+def fig_tempering(out_dir: str, quick: bool = False):
+    """Mode recovery on the two-mode mixture: stuck HMC vs parallel
+    tempering from the same one-basin init, against the exact density."""
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.models import GaussianMixture
+    from mjhmc_tpu.samplers import ParallelTempering
+
+    dist = GaussianMixture()  # modes ±4, σ=0.8
+    steps = 400 if quick else 3000
+    nbatch = 64 if quick else 256
+
+    hmc = ControlHMC(dist, epsilon=0.4, beta=1.0, num_leapfrog_steps=5,
+                     nbatch=nbatch, seed=0)
+    x_stuck = jnp.full_like(hmc.state.chain.x, -4.0)
+    hmc.state = hmc.state._replace(
+        chain=hmc.state.chain._replace(
+            x=x_stuck,
+            u=dist.potential(x_stuck),
+            grad=dist.grad_potential(x_stuck),
+        )
+    )
+    xs_hmc = np.asarray(hmc.sample(steps)["x"]).ravel()
+
+    pt = ParallelTempering(dist, epsilon=0.4, num_leapfrog_steps=5,
+                           nbatch=nbatch, num_temps=6, beta_min=0.02, seed=0)
+    x0 = jnp.full_like(pt.state.x, -4.0)
+    u0, g0 = dist.potential_and_grad(x0)
+    pt.state = pt.state._replace(x=x0, u=u0, grad=g0)
+    pt.burn_in(200 if quick else 500)
+    xs_pt = np.asarray(pt.sample(steps)["x"]).ravel()
+
+    grid = np.linspace(-8, 8, 400)
+    exact = np.exp(-np.asarray(dist.potential(jnp.asarray(grid)[None, :])))
+    exact /= np.trapezoid(exact, grid)
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    bins = np.linspace(-8, 8, 80)
+    ax.hist(xs_hmc, bins=bins, density=True, alpha=0.5,
+            label="HMC (stuck init)")
+    ax.hist(xs_pt, bins=bins, density=True, alpha=0.5,
+            label="parallel tempering")
+    ax.plot(grid, exact, "k-", lw=1.2, label="exact p(x)")
+    ax.set_xlabel("x")
+    ax.set_ylabel("density")
+    ax.set_title("Two-mode mixture (≈12.5 kT barrier), both from the left basin")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "tempering.png"), dpi=120)
+    np.savez(os.path.join(out_dir, "tempering.npz"),
+             hmc=xs_hmc, pt=xs_pt, grid=grid, exact=exact,
+             swap_rates=pt.swap_rates, betas=np.asarray(pt.betas))
+    plt.close(fig)
+
+
 FIGURES = {
     "autocorr": fig_autocorr_overlay,
     "spectral": fig_spectral_gap,
     "fan": fig_trajectory_fan,
+    "tempering": fig_tempering,
 }
 
 

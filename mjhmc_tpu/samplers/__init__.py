@@ -37,6 +37,7 @@ from mjhmc_tpu.samplers.tempering import (
     make_pt_state,
     pt_step,
     pt_run,
+    update_ladder,
 )
 from mjhmc_tpu.samplers.nuts import (
     NUTS,
@@ -88,4 +89,5 @@ __all__ = [
     "make_pt_state",
     "pt_step",
     "pt_run",
+    "update_ladder",
 ]

@@ -223,6 +223,29 @@ def pt_run(
     raise ValueError(f"unknown collect mode: {collect}")
 
 
+def update_ladder(
+    betas: np.ndarray,
+    swap_rates: np.ndarray,
+    target: float = 0.4,
+    eta: float = 0.6,
+) -> np.ndarray:
+    """One Robbins-Monro ladder update toward uniform swap acceptance.
+
+    Parameterizes the ladder by its log-β gaps uₜ = log β_{t+1} − log β_t
+    (β_{T−1} ≡ 1 stays pinned) and scales each gap by exp(η·(rₜ − r*)):
+    a pair swapping more often than the target ``r*`` earns a wider gap,
+    a cold pair a narrower one — the standard stochastic-approximation
+    tuning for replica exchange (Miasojedow et al., adaptive PT).
+    """
+    b = np.asarray(betas, np.float64)
+    if b.size == 1:
+        return b.astype(np.float32)
+    u = np.diff(np.log(b))  # (T-1,) positive gaps
+    u = np.clip(u * np.exp(eta * (np.asarray(swap_rates) - target)), 1e-4, 20.0)
+    log_b = -np.concatenate([np.cumsum(u[::-1])[::-1], [0.0]])
+    return np.exp(log_b).astype(np.float32)
+
+
 @dataclasses.dataclass
 class ParallelTempering:
     """Reference-style wrapper (mirrors ControlHMC's L3 interface)."""
@@ -244,25 +267,57 @@ class ParallelTempering:
         self.state = make_pt_state(
             self.distribution, k0, self.nbatch, self.num_temps
         )
-        self._run = jax.jit(
-            lambda s, k, n, collect: pt_run(
+        # betas is a traced argument so ladder adaptation never recompiles
+        self._run_b = jax.jit(
+            lambda s, k, betas, n, collect: pt_run(
                 self.distribution,
                 s,
                 k,
                 n,
-                self.betas,
+                betas,
                 self.epsilon,
                 self.num_leapfrog_steps,
                 self.unroll,
                 self.scale_eps,
                 collect,
             ),
-            static_argnums=(2, 3),
+            static_argnums=(3, 4),
         )
+
+    def _run(self, s, k, n, collect):
+        return self._run_b(s, k, self.betas, n, collect)
 
     def _next_key(self) -> Array:
         self._key, k = jax.random.split(self._key)
         return k
+
+    def adapt_ladder(
+        self,
+        num_windows: int = 20,
+        window_size: int = 50,
+        target: float = 0.4,
+        eta: float = 0.6,
+    ) -> np.ndarray:
+        """Windowed warmup tuning β toward uniform swap acceptance.
+
+        Runs ``num_windows`` windows of ``window_size`` PT iterations;
+        after each, applies :func:`update_ladder` to the per-pair swap
+        rates measured in that window alone. One compile total (betas is
+        a traced argument of the jitted run). Returns the tuned ladder.
+        """
+        for _ in range(num_windows):
+            acc0 = np.asarray(self.state.n_swap_acc, np.float64)
+            try0 = np.asarray(self.state.n_swap_try, np.float64)
+            self.state, _ = self._run(
+                self.state, self._next_key(), window_size, "stats"
+            )
+            d_acc = np.asarray(self.state.n_swap_acc) - acc0
+            d_try = np.maximum(np.asarray(self.state.n_swap_try) - try0, 1.0)
+            rates = (d_acc.mean(axis=-1)) / (d_try.mean(axis=-1))
+            self.betas = jnp.asarray(
+                update_ladder(np.asarray(self.betas), rates, target, eta)
+            )
+        return np.asarray(self.betas)
 
     def sample(self, num_steps: int) -> dict:
         """β=1 chain positions, shape (num_steps, ndims, nbatch)."""

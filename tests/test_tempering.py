@@ -141,6 +141,56 @@ def test_geometric_ladder_endpoints():
     np.testing.assert_allclose(r, r[0], rtol=1e-5)
 
 
+def test_update_ladder_invariants():
+    from mjhmc_tpu.samplers.tempering import update_ladder
+
+    b = geometric_ladder(5, 0.01)
+    # uniform rates at target → unchanged ladder
+    b2 = update_ladder(b, np.full(4, 0.4), target=0.4, eta=0.6)
+    np.testing.assert_allclose(b2, b, rtol=1e-5)
+    # hot pair swaps too much → its gap widens; cold pair starved → narrows
+    rates = np.array([0.0, 0.4, 0.4, 0.9])
+    b3 = update_ladder(b, rates, target=0.4, eta=0.6)
+    assert b3[-1] == 1.0 and (np.diff(b3) > 0).all()
+    gaps_old, gaps_new = np.diff(np.log(b)), np.diff(np.log(b3))
+    assert gaps_new[0] < gaps_old[0]  # starved pair pulled together
+    assert gaps_new[-1] > gaps_old[-1]  # over-swapping pair pushed apart
+
+
+def test_adapt_ladder_equalizes_swap_rates():
+    """From a badly skewed ladder, windowed adaptation flattens the
+    per-pair swap-rate profile and sampling afterwards is still exact."""
+    dist = GaussianMixture()
+    pt = ParallelTempering(
+        dist, epsilon=0.4, num_leapfrog_steps=5, nbatch=64,
+        num_temps=6, beta_min=0.001, seed=2,  # far too cold a base
+    )
+    pt.burn_in(200)
+    # measure the initial profile over one window
+    s0 = pt.state
+    pt.state, _ = pt._run(pt.state, pt._next_key(), 100, "stats")
+    r0 = (
+        np.asarray(pt.state.n_swap_acc - s0.n_swap_acc).mean(axis=-1)
+        / np.maximum(np.asarray(pt.state.n_swap_try - s0.n_swap_try), 1).mean(axis=-1)
+    )
+    pt.adapt_ladder(num_windows=15, window_size=60, target=0.4)
+    pt.burn_in(200)
+    s1 = pt.state
+    pt.state, _ = pt._run(pt.state, pt._next_key(), 100, "stats")
+    r1 = (
+        np.asarray(pt.state.n_swap_acc - s1.n_swap_acc).mean(axis=-1)
+        / np.maximum(np.asarray(pt.state.n_swap_try - s1.n_swap_try), 1).mean(axis=-1)
+    )
+    assert r1.std() < r0.std()  # flatter profile
+    assert (r1 > 0.15).all() and abs(r1.mean() - 0.4) < 0.2
+    # sampling with the tuned ladder remains exact
+    out = pt.sample(1500)
+    xs = np.asarray(out["x"])
+    var = float(np.asarray(dist.analytic_var())[0])
+    assert abs(xs.var() - var) / var < 0.15
+    assert 0.35 < float((xs > 0).mean()) < 0.65
+
+
 def test_pt_single_temperature_reduces_to_hmc_target():
     """T=1 PT is plain full-refresh HMC on the base target (moment check)."""
     dist = GaussianMixture(ndims=1, means=((0.0,),), scales=(1.5,), weights=(1.0,))
