@@ -32,6 +32,20 @@ def main():
           f"{np.asarray(dist.analytic_var())})")
     print(f"algorithmic gradient evaluations: {sampler.grad_evals:,}")
 
+    # multimodal targets: parallel tempering with a self-tuned ladder
+    from mjhmc_tpu.models import GaussianMixture
+    from mjhmc_tpu.samplers import ParallelTempering
+
+    mog = GaussianMixture()  # modes at ±4, σ=0.8 — ≈12.5 kT barrier
+    pt = ParallelTempering(mog, epsilon=0.4, num_leapfrog_steps=5,
+                           nbatch=512, num_temps=6, beta_min=0.02)
+    pt.adapt_ladder(num_windows=10, window_size=40)
+    pt.burn_in(300)
+    x_pt = np.asarray(pt.sample(1000)["x"])
+    print(f"two-mode mixture: PT variance {x_pt.var():.2f} "
+          f"(exact {float(np.asarray(mog.analytic_var())[0]):.2f}), "
+          f"swap rates {np.round(pt.swap_rates, 2)}")
+
     for name, beta in (("mjhmc", 0.1), ("control", 0.2)):
         res = calculate_autocorrelation(
             dist, name, num_steps=800, nbatch=512, nlags=200,

@@ -191,6 +191,25 @@ def test_adapt_ladder_equalizes_swap_rates():
     assert 0.35 < float((xs > 0).mean()) < 0.65
 
 
+def test_pt_2d_mixture_moments():
+    """Full PT path at ndims > 1: four modes on a square, exact moments."""
+    dist = GaussianMixture(
+        ndims=2,
+        means=((-3.0, -3.0), (-3.0, 3.0), (3.0, -3.0), (3.0, 3.0)),
+        scales=(0.7, 0.7, 0.7, 0.7),
+        weights=(0.25, 0.25, 0.25, 0.25),
+    )
+    pt = ParallelTempering(
+        dist, epsilon=0.35, num_leapfrog_steps=5, nbatch=128,
+        num_temps=6, beta_min=0.02, seed=7,
+    )
+    pt.burn_in(300)
+    xs = np.asarray(pt.sample(1500)["x"])  # (steps, 2, n)
+    var = np.asarray(dist.analytic_var())  # [9.49, 9.49]
+    np.testing.assert_allclose(xs.var(axis=(0, 2)), var, rtol=0.12)
+    assert np.abs(xs.mean(axis=(0, 2))).max() < 0.5
+
+
 def test_pt_single_temperature_reduces_to_hmc_target():
     """T=1 PT is plain full-refresh HMC on the base target (moment check)."""
     dist = GaussianMixture(ndims=1, means=((0.0,),), scales=(1.5,), weights=(1.0,))
