@@ -22,6 +22,7 @@ from mjhmc_tpu.samplers import (
     ControlHMC,
     MarkovJumpHMC,
     NUTS,
+    ParallelTempering,
     ReducedFlipHMC,
 )
 from mjhmc_tpu.utils.init_cache import burned_in_init
@@ -34,6 +35,7 @@ SAMPLERS = {
     "reduced_flip": ReducedFlipHMC,
     "nuts": NUTS,
     "malt": MALT,
+    "pt": ParallelTempering,  # eval axis charges all T replicas (honest cost)
 }
 
 
@@ -120,6 +122,10 @@ def calculate_autocorrelation(
         if sampler == "nuts":
             u, g = dist.potential_and_grad(x0)
             s.state = s.state._replace(x=x0, u=u, grad=g)
+        elif sampler == "pt":
+            xT = jnp.broadcast_to(x0, s.state.x.shape)
+            u, g = dist.potential_and_grad(xT)
+            s.state = s.state._replace(x=xT, u=u, grad=g)
         else:
             u, g = dist.potential_and_grad(x0)
             s.state = s.state._replace(

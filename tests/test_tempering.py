@@ -132,6 +132,23 @@ def test_pt_cost_model():
     )
 
 
+def test_pt_autocorrelation_experiment():
+    """calculate_autocorrelation dispatches PT: ρ finite, cost axis charges
+    all T replicas (evals/step/chain = T·M exactly)."""
+    from mjhmc_tpu.experiments import calculate_autocorrelation
+
+    dist = GaussianMixture()
+    res = calculate_autocorrelation(
+        dist, "pt", num_steps=300, nbatch=32, nlags=60, burn_steps=100,
+        use_cached_init=False, epsilon=0.4, num_leapfrog_steps=5,
+        num_temps=4, beta_min=0.05,
+    )
+    assert np.isfinite(res.rho).all() and res.rho[0] > 0.9
+    per_step = res.grad_evals[1] - res.grad_evals[0]
+    assert per_step == 4 * 5  # T·M
+    assert res.total_grad_evals == 300 * 32 * 4 * 5
+
+
 def test_geometric_ladder_endpoints():
     b = geometric_ladder(7, 0.01)
     assert b[0] == np.float32(0.01) and b[-1] == 1.0
