@@ -99,6 +99,7 @@ def cmd_sample(args):
     if args.sampler == "pt":
         rec["betas"] = np.asarray(s.betas).tolist()
         rec["swap_rates"] = np.asarray(s.swap_rates).tolist()
+        rec["round_trip_rate"] = s.round_trip_rate
     if args.save:
         np.savez(args.save, x=xs, **({"dwell": w} if w is not None else {}))
         rec["saved"] = args.save

@@ -47,6 +47,9 @@ class PTState(NamedTuple):
     n_accept: Array  # (T, n) int32 HMC accepts per replica
     n_swap_acc: Array  # (T-1, n) int32 accepted exchanges per adjacent pair
     n_swap_try: Array  # (T-1, n) int32 attempted exchanges per adjacent pair
+    replica_id: Array  # (T, n) int32 — which original replica occupies rung t
+    seen_hot: Array  # (T, n) bool per ORIGINAL replica: visited rung 0
+    round_trips: Array  # (T, n) int32 per original replica: hot→cold passages
 
 
 class PTStepOut(NamedTuple):
@@ -78,6 +81,12 @@ def make_pt_state(
         n_accept=jnp.zeros((num_temps, nbatch), jnp.int32),
         n_swap_acc=jnp.zeros((t1, nbatch), jnp.int32),
         n_swap_try=jnp.zeros((t1, nbatch), jnp.int32),
+        replica_id=jnp.broadcast_to(
+            jnp.arange(num_temps, dtype=jnp.int32)[:, None],
+            (num_temps, nbatch),
+        ),
+        seen_hot=jnp.zeros((num_temps, nbatch), bool),
+        round_trips=jnp.zeros((num_temps, nbatch), jnp.int32),
     )
 
 
@@ -155,11 +164,26 @@ def pt_step(
         x = exchange(x, bn, bp)
         u = exchange(u, with_next, with_prev)
         g = exchange(g, bn, bp)
+        rid = exchange(state.replica_id, with_next, with_prev)
         n_swap_acc = state.n_swap_acc + swap.astype(jnp.int32)
         n_swap_try = state.n_swap_try + active.astype(jnp.int32)
+
+        # ---- replica-flow health: hot→cold passages per original replica.
+        # A "round trip" completes when a replica that has touched the
+        # hottest rung (index 0, β_min) reaches the cold target rung
+        # (index T−1, β=1); the flag resets so repeated passages count.
+        rep_ids = jnp.arange(num_temps, dtype=jnp.int32)[:, None]  # (T, 1)
+        at_hot = rid[0][None, :] == rep_ids  # (T, n): r sits at rung 0
+        at_cold = rid[-1][None, :] == rep_ids  # r sits at the cold rung
+        seen_hot = state.seen_hot | at_hot
+        completed = at_cold & seen_hot
+        round_trips = state.round_trips + completed.astype(jnp.int32)
+        seen_hot = seen_hot & ~completed
     else:
         swap = jnp.zeros((1, state.x.shape[-1]), bool)
+        rid = state.replica_id
         n_swap_acc, n_swap_try = state.n_swap_acc, state.n_swap_try
+        seen_hot, round_trips = state.seen_hot, state.round_trips
 
     new_state = PTState(
         x=x,
@@ -170,6 +194,9 @@ def pt_step(
         n_accept=state.n_accept + accept.astype(jnp.int32),
         n_swap_acc=n_swap_acc,
         n_swap_try=n_swap_try,
+        replica_id=rid,
+        seen_hot=seen_hot,
+        round_trips=round_trips,
     )
     return new_state, PTStepOut(x=x[-1], accept=accept, swap_accept=swap)
 
@@ -331,6 +358,8 @@ class ParallelTempering:
             n_accept=jnp.zeros_like(self.state.n_accept),
             n_swap_acc=jnp.zeros_like(self.state.n_swap_acc),
             n_swap_try=jnp.zeros_like(self.state.n_swap_try),
+            seen_hot=jnp.zeros_like(self.state.seen_hot),
+            round_trips=jnp.zeros_like(self.state.round_trips),
         )
 
     @property
@@ -343,7 +372,19 @@ class ParallelTempering:
     def swap_rates(self) -> np.ndarray:
         """Mean exchange acceptance per adjacent pair, shape (T-1,)."""
         tries = np.maximum(np.asarray(self.state.n_swap_try), 1)
-        return np.asarray(self.state.n_swap_acc) .mean(axis=-1) / tries.mean(axis=-1)
+        return np.asarray(self.state.n_swap_acc).mean(axis=-1) / tries.mean(axis=-1)
+
+    @property
+    def round_trip_rate(self) -> float:
+        """Mean completed hot→cold passages per replica per iteration —
+        the standard PT mixing-health metric (higher is better; 0 means
+        replicas are not actually traversing the ladder)."""
+        n_iters = max(
+            int(self.state.grad_evals[0])
+            // (self.num_temps * self.num_leapfrog_steps),
+            1,
+        )
+        return float(np.asarray(self.state.round_trips).mean() / n_iters)
 
     @property
     def grad_evals(self) -> int:

@@ -132,6 +132,24 @@ def test_pt_cost_model():
     )
 
 
+def test_pt_replica_flow():
+    """Replica identities stay a permutation of 0..T−1 per chain, and on a
+    healthy ladder replicas complete hot→cold round trips."""
+    dist = GaussianMixture()
+    pt = ParallelTempering(
+        dist, epsilon=0.4, num_leapfrog_steps=5, nbatch=32,
+        num_temps=5, beta_min=0.05, seed=3,
+    )
+    pt.sample(600)
+    rid = np.asarray(pt.state.replica_id)  # (T, n)
+    np.testing.assert_array_equal(
+        np.sort(rid, axis=0), np.arange(5)[:, None].repeat(32, axis=1)
+    )
+    assert pt.round_trip_rate > 0.0
+    # every chain's replicas completed at least one passage collectively
+    assert (np.asarray(pt.state.round_trips).sum(axis=0) > 0).all()
+
+
 def test_pt_autocorrelation_experiment():
     """calculate_autocorrelation dispatches PT: ρ finite, cost axis charges
     all T replicas (evals/step/chain = T·M exactly)."""
