@@ -167,6 +167,23 @@ def test_pt_autocorrelation_experiment():
     assert res.total_grad_evals == 300 * 32 * 4 * 5
 
 
+def test_pt_state_checkpoint_roundtrip(tmp_path):
+    """PTState (incl. replica-flow fields) survives save/load bit-exactly."""
+    from mjhmc_tpu.samplers.tempering import make_pt_state
+    from mjhmc_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    dist = GaussianMixture()
+    pt = ParallelTempering(dist, nbatch=16, num_temps=4, seed=5)
+    pt.sample(20)
+    path = str(tmp_path / "pt.npz")
+    save_pytree(path, pt.state)
+    restored = load_pytree(path, make_pt_state(dist, jax.random.key(0), 16, 4))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(pt.state), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_geometric_ladder_endpoints():
     b = geometric_ladder(7, 0.01)
     assert b[0] == np.float32(0.01) and b[-1] == 1.0
