@@ -126,6 +126,42 @@ BENCHMARK_CONFIGS = {
         num_leapfrog_steps=5,
         description="Two-mode Gaussian mixture (≈12.5 kT barrier), parallel tempering",
     ),
+    # beyond-reference: varying-curvature stress test for warmup/adaptation
+    "funnel": BenchmarkConfig(
+        name="funnel",
+        distribution="funnel",
+        dist_kwargs=(("ndims", 10), ("sigma_v", 3.0)),
+        sampler="mjhmc",
+        nbatch=1024,
+        epsilon=0.1,
+        beta=0.15,
+        num_leapfrog_steps=8,
+        description="Neal's funnel 10-D, mass-matrix/warmup stress test",
+    ),
+    # beyond-reference: curved-ridge benchmark with closed-form moments
+    "banana": BenchmarkConfig(
+        name="banana",
+        distribution="banana",
+        dist_kwargs=(("ndims", 2), ("a", 2.0), ("b", 0.4)),
+        sampler="mjhmc",
+        nbatch=2048,
+        epsilon=0.25,
+        beta=0.1,
+        num_leapfrog_steps=8,
+        description="Haario banana (twisted Gaussian), curved-ridge exploration",
+    ),
+    # beyond-reference: real Bayesian-inference target (MXU likelihood)
+    "logreg": BenchmarkConfig(
+        name="logreg",
+        distribution="logreg",
+        dist_kwargs=(("ndims", 16), ("nobs", 256)),
+        sampler="mjhmc",
+        nbatch=2048,
+        epsilon=0.15,
+        beta=0.1,
+        num_leapfrog_steps=6,
+        description="Bayesian logistic regression posterior, Laplace-oracle checks",
+    ),
     # BASELINE.json config 5
     "sparse_coding": BenchmarkConfig(
         name="sparse_coding",

@@ -11,6 +11,9 @@ from mjhmc_tpu.models.rough_well import RoughWell
 from mjhmc_tpu.models.product_of_t import ProductOfT
 from mjhmc_tpu.models.sparse_coding import SparseCoding
 from mjhmc_tpu.models.mog import GaussianMixture
+from mjhmc_tpu.models.funnel import Funnel
+from mjhmc_tpu.models.banana import Banana
+from mjhmc_tpu.models.logreg import LogisticRegression
 
 __all__ = [
     "Distribution",
@@ -22,4 +25,7 @@ __all__ = [
     "ProductOfT",
     "SparseCoding",
     "GaussianMixture",
+    "Funnel",
+    "Banana",
+    "LogisticRegression",
 ]

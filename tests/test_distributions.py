@@ -5,7 +5,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mjhmc_tpu.models import Gaussian, RoughWell, ProductOfT, SparseCoding, registry
+from mjhmc_tpu.models import (
+    Banana,
+    Funnel,
+    Gaussian,
+    LogisticRegression,
+    ProductOfT,
+    RoughWell,
+    SparseCoding,
+    registry,
+)
 
 
 ALL_DISTS = [
@@ -14,6 +23,9 @@ ALL_DISTS = [
     RoughWell(ndims=2),
     ProductOfT(ndims=36, nbasis=36),
     SparseCoding(npixels=64, nbasis=128),
+    Funnel(ndims=10),
+    Banana(ndims=3),
+    LogisticRegression(ndims=16, nobs=256),
 ]
 
 
