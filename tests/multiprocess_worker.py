@@ -1,0 +1,112 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Runs the chain-sharded sampler + explicit collectives across a REAL
+``jax.distributed`` process group on CPU (gloo collectives), per the test
+strategy in SURVEY.md §4.5: "jax.distributed multi-process CPU tests for
+the collective paths (sharded moments, SMC resampling)". The virtual
+8-device mesh used everywhere else exercises GSPMD partitioning but not
+actual cross-process transport; this does.
+
+Invoked as:  python tests/multiprocess_worker.py PORT PROCESS_ID NPROC NDEV
+
+Every process deterministically reconstructs the FULL global inputs (same
+seeds), so each can compute the single-process reference locally and check
+the cross-process sharded result against it — no inter-process comparison
+channel needed beyond the collectives under test themselves.
+"""
+
+import os
+import sys
+
+
+def main() -> int:
+    port, pid, nproc, ndev = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    # Do not inherit the test-suite XLA_FLAGS (it forces 8 local devices);
+    # each worker contributes exactly `ndev` devices to the global mesh.
+    os.environ.pop("XLA_FLAGS", None)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", ndev)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == nproc * ndev
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mjhmc_tpu.inference.smc import systematic_resample
+    from mjhmc_tpu.models.rough_well import RoughWell
+    from mjhmc_tpu.parallel.collectives import (
+        distributed_systematic_resample,
+        sharded_moments,
+    )
+    from mjhmc_tpu.parallel.mesh import chain_sharding, make_chain_mesh
+    from mjhmc_tpu.samplers.mjhmc import mjhmc_run
+    from mjhmc_tpu.samplers.state import make_mj_state
+
+    mesh = make_chain_mesh()
+    nbatch = 64
+
+    def globalize(leaf):
+        """Lift a (fully known, identical-on-every-process) array onto the
+        cross-process mesh, chain axis sharded."""
+        arr = np.asarray(leaf)
+        if arr.ndim >= 1 and arr.shape[-1] == nbatch:
+            sh = chain_sharding(mesh, arr.ndim)
+        else:
+            sh = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    # ---- 1) sampler hot loop across processes, checked vs local run ----
+    dist = RoughWell()
+    state = make_mj_state(dist, jax.random.key(0), nbatch)  # process-local, full
+    gstate = jax.tree_util.tree_map(globalize, state)
+    key = jax.random.key(7)
+    args = dict(num_steps=25, epsilon=0.5, beta=0.2, num_leapfrog_steps=5)
+
+    def run(s, k):
+        return mjhmc_run(dist, s, k, collect="stats", **args)
+
+    ref, _ = jax.jit(run)(state, key)  # single-process reference
+    gout, _ = jax.jit(run)(gstate, key)  # same program, cross-process mesh
+
+    # global eval counters must match the local reference exactly
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(gout.grad_evals)
+    ref_total = int(np.asarray(ref.grad_evals).sum())
+    assert int(np.asarray(total)) == ref_total, (int(np.asarray(total)), ref_total)
+
+    # dwell-weighted spatial moments via the explicit psum path
+    mean_g, var_g = sharded_moments(gout.chain.x, gout.dwell_sum, mesh)
+    w = np.asarray(ref.dwell_sum)
+    x = np.asarray(ref.chain.x)
+    mean_ref = (w * x).sum(axis=1) / w.sum()
+    var_ref = (w * x * x).sum(axis=1) / w.sum() - mean_ref**2
+    np.testing.assert_allclose(np.asarray(mean_g), mean_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_g), var_ref, rtol=1e-4, atol=1e-4)
+
+    # ---- 2) distributed systematic resample == single-device version ----
+    rng = np.random.default_rng(3)
+    xp = rng.normal(size=(3, nbatch)).astype(np.float32)
+    lw = rng.normal(size=(nbatch,)).astype(np.float32)
+    k2 = jax.random.key(11)
+    expect = np.asarray(systematic_resample(k2, jnp.asarray(xp), jnp.asarray(lw)))
+    # jit the shard_map: eager dispatch would index non-addressable shards
+    got = jax.jit(
+        lambda k, x_, lw_: distributed_systematic_resample(k, x_, lw_, mesh)
+    )(k2, globalize(xp), globalize(lw))
+    for shard in got.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data), expect[shard.index])
+
+    print(f"WORKER OK pid={pid} devices={len(jax.devices())}", flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
