@@ -116,6 +116,8 @@ def cmd_figures(args):
     from mjhmc_tpu.experiments import figures
 
     argv = ["--out", args.out] + (["--quick"] if args.quick else [])
+    if args.only:
+        argv += ["--only", args.only]
     figures.main(argv)
 
 
@@ -253,6 +255,7 @@ def main(argv=None):
     sp = sub.add_parser("figures")
     sp.add_argument("--out", default="figures_out")
     sp.add_argument("--quick", action="store_true")
+    sp.add_argument("--only", default=None, help="render a single figure by name")
     sp.set_defaults(fn=cmd_figures)
 
     sp = sub.add_parser("search")

@@ -41,3 +41,14 @@ def test_search_command(capsys):
     main(["search", "--config", "gauss2d", "--steps", "120", "--nbatch", "64"])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "best" in rec and len(rec["table"]) == 9
+
+
+def test_figures_only_flag(tmp_path):
+    # --only must pass through the top-level CLI (regression: it used to
+    # exist only on figures.main's own parser)
+    import os
+
+    out = str(tmp_path / "figs")
+    main(["figures", "--quick", "--only", "fan", "--out", out])
+    assert os.path.exists(os.path.join(out, "trajectory_fan.png"))
+    assert os.path.exists(os.path.join(out, "trajectory_fan.npz"))
