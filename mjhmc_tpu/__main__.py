@@ -109,6 +109,14 @@ def cmd_sample(args):
 def cmd_bench(args):
     import bench
 
+    if args.profile:
+        # Perfetto/XProf trace of the whole timed run (SURVEY.md §5 tracing)
+        from mjhmc_tpu.utils.profiling import trace
+
+        with trace(args.profile) as d:
+            rc = bench.main()
+        print(f"# trace written to {d}", file=sys.stderr)
+        sys.exit(rc)
     sys.exit(bench.main())
 
 
@@ -250,6 +258,10 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("bench")
+    sp.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler (Perfetto/XProf) trace of the run to DIR",
+    )
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("figures")
