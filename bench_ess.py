@@ -51,17 +51,29 @@ def main(argv=None):
         nbatch=cfg.nbatch,
         seed=0,
     )
-    eng.run(burn)  # burn-in + engine compile
+    try:
+        eng.run(burn)  # burn-in + engine compile
+    except Exception as e:
+        print(
+            "# pallas engine unavailable — this benchmark requires a real "
+            f"TPU ({type(e).__name__})",
+            file=sys.stderr,
+        )
+        return 1
     # warm the streaming kernel at the SAME num_emits — it is a static
     # kernel parameter, so a different warmup size would leave the timed
     # call paying the compile
     xs, ws = eng.sample(num_emits)
     float(ws.sum())
 
-    t0 = time.perf_counter()
-    xs, ws = eng.sample(num_emits)
-    float(ws.sum())  # force host materialization (axon tunnel)
-    wall = time.perf_counter() - t0
+    # best-of-trials like bench.py: the tunneled axon backend has variable
+    # dispatch latency, so a single trial can misstate the headline number
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        xs, ws = eng.sample(num_emits)
+        float(ws.sum())  # force host materialization (axon tunnel)
+        wall = min(wall, time.perf_counter() - t0)
 
     ess = float(effective_sample_size(xs, ws))
     out = {

@@ -1187,9 +1187,19 @@ class PallasMJHMC:
         self.u = u.reshape(s, l)
         self.h_back = jnp.zeros((s, l), jnp.float32)
         self.back_valid = jnp.zeros((s, l), jnp.float32)
-        self._step_seed = np.int32(self.seed * 7919 + 13)
+        # kernel seeds derive from the session's threefry key (the same RNG
+        # discipline as the jnp path) — one fold_in per engine run
+        self._seed_key = jax.random.key(self.seed)
+        self._run_index = 0
+        self._step_seed = self._next_seed()
         self.evals_total = jnp.float32(0.0)  # algorithmic grad evals, all runs
         self.steps_total = 0
+
+    def _next_seed(self) -> np.int32:
+        k = jax.random.fold_in(self._seed_key, self._run_index)
+        self._run_index += 1
+        raw = np.asarray(jax.random.key_data(k)).ravel()[-1]
+        return np.int32(int(raw) & 0x7FFFFFFF)
 
     def sample(self, num_emits: int, thin: int = 1):
         """Streaming run: returns (xs, dwell) shaped (num_emits, d, nbatch)
@@ -1220,10 +1230,7 @@ class PallasMJHMC:
         )
 
     def _advance_seed(self):
-        self._step_seed = np.int32(
-            (int(self._step_seed) * 6364136223846793005 + 1442695040888963407)
-            % (2**31 - 1)
-        )
+        self._step_seed = self._next_seed()
 
     def run(self, num_steps: int) -> PallasRunOut:
         run_fn = pallas_mjhmc_mm_run if self._matmul else pallas_mjhmc_run

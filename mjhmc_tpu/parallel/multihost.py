@@ -28,12 +28,15 @@ def initialize(
     """Join the multi-host process group; returns topology info.
 
     With no arguments, relies on TPU runtime environment discovery (the
-    normal path on Cloud TPU pods). Safe to call in single-process runs:
-    initialization errors from a missing cluster are reported, not raised.
+    normal path on Cloud TPU pods). Explicit-arguments failures RAISE (on a
+    real pod a genuine init failure must not be mistaken for single-process
+    mode); only the argument-free env-discovery path degrades gracefully,
+    and then the swallowed error is surfaced in ``info["error"]``.
     """
     info = {"initialized": False}
     try:
         if num_processes is not None and num_processes > 1:
+            # explicit cluster spec: a failure here is a real failure
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
@@ -41,12 +44,12 @@ def initialize(
             )
             info["initialized"] = True
         elif coordinator_address is None and num_processes is None:
-            # env-discovery path; no-op off-pod
+            # env-discovery path; no-op off-pod, but keep the evidence
             try:
                 jax.distributed.initialize()
                 info["initialized"] = True
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001 — reported, not hidden
+                info["error"] = f"{type(e).__name__}: {e}"
     finally:
         info.update(
             process_index=jax.process_index(),

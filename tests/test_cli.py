@@ -1,6 +1,7 @@
 """CLI smoke tests (run on the forced-CPU test platform)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -46,8 +47,6 @@ def test_search_command(capsys):
 def test_figures_only_flag(tmp_path):
     # --only must pass through the top-level CLI (regression: it used to
     # exist only on figures.main's own parser)
-    import os
-
     out = str(tmp_path / "figs")
     main(["figures", "--quick", "--only", "fan", "--out", out])
     assert os.path.exists(os.path.join(out, "trajectory_fan.png"))

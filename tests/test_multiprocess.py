@@ -27,8 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_cpu_collectives():
-    port = _free_port()
+def _spawn_workers(port: int):
     env = os.environ.copy()
     env.pop("XLA_FLAGS", None)  # workers pick their own device counts
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -51,6 +50,22 @@ def test_two_process_cpu_collectives():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_cpu_collectives():
+    # _free_port probes then closes, a TOCTOU race under parallel execution:
+    # another process can grab the port before the coordinator binds it.
+    # Retry the whole spawn on a bind failure with a fresh port.
+    for attempt in range(3):
+        procs, outs = _spawn_workers(_free_port())
+        bind_failed = any(
+            p.returncode != 0
+            and ("already in use" in out.lower() or "failed to bind" in out.lower())
+            for p, out in zip(procs, outs)
+        )
+        if not bind_failed or attempt == 2:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"WORKER OK pid={i}" in out, f"worker {i} output:\n{out}"
