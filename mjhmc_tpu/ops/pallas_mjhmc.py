@@ -109,6 +109,145 @@ class GaussianSpec(EnergySpec):
         return 0.5 * jnp.sum(x * x * params, axis=0)
 
 
+@dataclasses.dataclass(frozen=True)
+class FunnelSpec(EnergySpec):
+    """Neal's funnel (models/funnel.py): row 0 is the log-scale v, rows
+    1..d-1 are N(0, eᵛ). Row-0 special-casing is a broadcasted-iota mask —
+    Mosaic-friendly (no gathers, no dynamic slices on tiled axes)."""
+
+    ndims: int
+    sigma_v: float
+
+    def _z2(self, x):
+        # masked sum (NOT Σx²−v²: that cancellation is amplified by e⁻ᵛ)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        tail = jnp.where(idx == 0, 0.0, x)
+        return jnp.sum(tail * tail, axis=0)
+
+    def du(self, x, params):
+        v = x[0]  # (S, L) — leading (untiled) axis index
+        e = jnp.exp(-v)
+        z2 = self._z2(x)
+        gv = (
+            v * (1.0 / self.sigma_v**2)
+            + 0.5 * (self.ndims - 1)
+            - 0.5 * e * z2
+        )
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.where(idx == 0, gv[None], e[None] * x)
+
+    def u_sum(self, x, params):
+        v = x[0]
+        return (
+            0.5 * v * v * (1.0 / self.sigma_v**2)
+            + 0.5 * (self.ndims - 1) * v
+            + 0.5 * jnp.exp(-v) * self._z2(x)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class BananaSpec(EnergySpec):
+    """Haario banana (models/banana.py): rows 0/1 are the twisted pair,
+    rows ≥2 standard normal. Same iota-mask row dispatch as FunnelSpec."""
+
+    ndims: int
+    a: float
+    b: float
+
+    def du(self, x, params):
+        x1, x2 = x[0], x[1]
+        r = x2 - self.b * (x1 * x1 - self.a**2)
+        g0 = x1 * (1.0 / self.a**2) - (2.0 * self.b) * x1 * r
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return jnp.where(idx == 0, g0[None], jnp.where(idx == 1, r[None], x))
+
+    def u_sum(self, x, params):
+        x1, x2 = x[0], x[1]
+        r = x2 - self.b * (x1 * x1 - self.a**2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        tail = jnp.where(idx < 2, 0.0, x)  # masked, not subtractive
+        tail2 = jnp.sum(tail * tail, axis=0)
+        return 0.5 * x1 * x1 * (1.0 / self.a**2) + 0.5 * r * r + 0.5 * tail2
+
+
+@dataclasses.dataclass(frozen=True)
+class MogSpec(EnergySpec):
+    """Isotropic K-component Gaussian mixture (models/mog.py).
+
+    Components/dims are unrolled with static scalar parameters (μ, σ, w are
+    python floats baked into the kernel), so this targets the small-d
+    multimodal benchmarks (the mog preset is 1-D). The logsumexp is the
+    standard max-shifted stable form; responsibilities reuse its exps.
+    """
+
+    ndims: int
+    means: tuple  # ((d floats),) × K
+    scales: tuple  # (K,)
+    weights: tuple  # (K,) normalized
+
+    def _logits(self, x):
+        import math
+
+        x2 = jnp.sum(x * x, axis=0)  # (S, L)
+        logits = []
+        for k in range(len(self.scales)):
+            mu = self.means[k]
+            s2 = float(self.scales[k]) ** 2
+            cross = 0.0
+            musq = 0.0
+            for i in range(self.ndims):
+                if mu[i] != 0.0:
+                    cross = cross + mu[i] * x[i]
+                musq += mu[i] * mu[i]
+            sq = x2 - 2.0 * cross + musq
+            logits.append(
+                math.log(self.weights[k])
+                - self.ndims * math.log(float(self.scales[k]))
+                - 0.5 / s2 * sq
+            )
+        return logits
+
+    def du(self, x, params):
+        logits = self._logits(x)
+        m = logits[0]
+        for lg in logits[1:]:
+            m = jnp.maximum(m, lg)
+        exps = [jnp.exp(lg - m) for lg in logits]
+        tot = exps[0]
+        for e in exps[1:]:
+            tot = tot + e
+        inv_tot = 1.0 / tot
+        # grad = x·Σₖ cₖ − Σₖ cₖ μₖ  with cₖ = rₖ/σₖ²
+        cs = [
+            (e * inv_tot) * (1.0 / float(self.scales[k]) ** 2)
+            for k, e in enumerate(exps)
+        ]
+        a = cs[0]
+        for c in cs[1:]:
+            a = a + c
+        g = x * a[None]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        for i in range(self.ndims):
+            row = None
+            for k, c in enumerate(cs):
+                if self.means[k][i] != 0.0:
+                    t = c * self.means[k][i]
+                    row = t if row is None else row + t
+            if row is not None:
+                g = g - jnp.where(idx == i, row[None], 0.0)
+        return g
+
+    def u_sum(self, x, params):
+        logits = self._logits(x)
+        m = logits[0]
+        for lg in logits[1:]:
+            m = jnp.maximum(m, lg)
+        tot = jnp.exp(logits[0] - m)
+        for lg in logits[1:]:
+            tot = tot + jnp.exp(lg - m)
+        return -(m + jnp.log(tot))
+
+
 class MatmulEnergySpec(EnergySpec):
     """Energy with basis/dictionary contractions on the MXU.
 
@@ -230,7 +369,54 @@ class SparseCodingSpec(MatmulEnergySpec):
         ) * jnp.sum(r * r, axis=0, keepdims=True)
 
 
+@dataclasses.dataclass(frozen=True)
+class LogregSpec(MatmulEnergySpec):
+    """Bayesian logistic regression (models/logreg.py): the label signs are
+    folded into the design matrix host-side (Xs = −s·X), so the kernel body
+    is one (o×d)·(d×lanes) MXU matmul + stable softplus/sigmoid + the
+    Gaussian prior. precision='default' matches the XLA path's einsum
+    (bf16 pass, f32 accumulate) — the logits are O(1) by construction
+    (X scaled by 1/√d), so bf16 is safe here unlike sparse coding."""
+
+    dist: "object"  # LogisticRegression (frozen dataclass, hashable)
+    precision: str = "default"
+
+    def param_arrays(self):
+        xmat, s = self.dist._data  # host numpy (jit-safe)
+        return [np.asarray(-s[:, None] * xmat, np.float32)]  # (o, d)
+
+    def aux_rows(self) -> int:
+        return self.dist.nobs
+
+    def _dot(self, a, b, dims):
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            precision=_PRECISIONS[self.precision],
+            preferred_element_type=jnp.float32,
+        )
+
+    def du(self, th, xs):
+        z = self._dot(xs, th, ((1,), (0,)))  # (o, lanes)
+        sig = 1.0 / (1.0 + jnp.exp(-z))
+        return self._dot(xs, sig, ((0,), (0,))) + th * (
+            1.0 / self.dist.prior_scale**2
+        )
+
+    def u_sum(self, th, xs):
+        z = self._dot(xs, th, ((1,), (0,)))
+        # stable softplus: max(z,0) + log1p(exp(−|z|))
+        sp = jnp.maximum(z, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        return jnp.sum(sp, axis=0, keepdims=True) + (
+            0.5 / self.dist.prior_scale**2
+        ) * jnp.sum(th * th, axis=0, keepdims=True)
+
+
 def energy_spec_for(dist) -> EnergySpec:
+    from mjhmc_tpu.models.banana import Banana
+    from mjhmc_tpu.models.funnel import Funnel
+    from mjhmc_tpu.models.logreg import LogisticRegression
+    from mjhmc_tpu.models.mog import GaussianMixture
+
     if isinstance(dist, RoughWell):
         return RoughWellSpec(dist.scale1, dist.scale2, dist.amplitude)
     if isinstance(dist, Gaussian):
@@ -239,6 +425,19 @@ def energy_spec_for(dist) -> EnergySpec:
         return ProductOfTSpec(dist)
     if isinstance(dist, SparseCoding):
         return SparseCodingSpec(dist)
+    if isinstance(dist, Funnel):
+        return FunnelSpec(dist.ndims, dist.sigma_v)
+    if isinstance(dist, Banana):
+        return BananaSpec(dist.ndims, dist.a, dist.b)
+    if isinstance(dist, GaussianMixture):
+        return MogSpec(
+            dist.ndims,
+            tuple(tuple(float(m) for m in row) for row in dist._mu),
+            tuple(float(s) for s in dist._sigma),
+            tuple(float(w) for w in dist._w),
+        )
+    if isinstance(dist, LogisticRegression):
+        return LogregSpec(dist)
     raise TypeError(
         f"no fused Pallas energy for {type(dist).__name__}; use the XLA path"
     )
@@ -272,30 +471,39 @@ def _normal(shape):
     return r * jnp.cos((2.0 * np.pi) * u2)
 
 
-def _make_step(spec: EnergySpec, params, eps, beta, m):
+def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
     """Build the fused jump-iteration body shared by both kernels.
 
     Returns step(carry) -> (carry', (x_pre, dwell)) where x_pre/dwell are
     the Rao-Blackwell emission of that iteration.
+
+    ``inv_mass``: optional per-dim diagonal M⁻¹ block (state-shaped) —
+    momenta ride N(0, M), kinetic energy ½vᵀM⁻¹v, positions advance by
+    ε·M⁻¹v (same contract as ops.leapfrog). ``None`` statically compiles
+    the unpreconditioned fast path (zero extra ops — the headline bench
+    is untouched).
     """
+    # loop-invariant: traced once at closure build, outside the steps-loop
+    sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
 
     def leapfrog_pair(x, vf, gf, vb, gb):
         """M steps forward from (x, vf) and backward from (x, vb=-v)."""
         xf, xb = x, x
         for _ in range(m):
             vf_h = vf - (0.5 * eps) * gf
-            xf = xf + eps * vf_h
+            xf = xf + eps * (vf_h if inv_mass is None else inv_mass * vf_h)
             gf = spec.du(xf, params)
             vf = vf_h - (0.5 * eps) * gf
 
             vb_h = vb - (0.5 * eps) * gb
-            xb = xb + eps * vb_h
+            xb = xb + eps * (vb_h if inv_mass is None else inv_mass * vb_h)
             gb = spec.du(xb, params)
             vb = vb_h - (0.5 * eps) * gb
         return xf, vf, gf, xb, vb, gb
 
     def halfsq(v):
-        return 0.5 * jnp.sum(v * v, axis=0)
+        vv = v * v if inv_mass is None else v * v * inv_mass
+        return 0.5 * jnp.sum(vv, axis=0)
 
     def step(carry):
         x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
@@ -337,6 +545,8 @@ def _make_step(spec: EnergySpec, params, eps, beta, m):
 
         x_pre = x
         v_fresh = _normal(x.shape)
+        if sqrt_m is not None:
+            v_fresh = v_fresh * sqrt_m  # N(0, M) refresh
         bl = is_l[None]
         bf = is_f[None]
         x = jnp.where(bl, xf, x)
@@ -350,30 +560,32 @@ def _make_step(spec: EnergySpec, params, eps, beta, m):
     return step
 
 
-def _make_step_mm(spec: MatmulEnergySpec, params, eps, beta, m):
+def _make_step_mm(spec: MatmulEnergySpec, params, inv_mass, eps, beta, m):
     """Fused jump-iteration body for the 2-D (d, lanes) matmul layout.
 
     Same semantics as ``_make_step``; per-chain scalars are (1, lanes) so
     every op stays a 2-D tile (Mosaic-friendly), and the energy's basis
     contractions run on the MXU via the spec's dot_generals.
     """
+    sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
 
     def leapfrog_pair(x, vf, gf, vb, gb):
         xf, xb = x, x
         for _ in range(m):
             vf_h = vf - (0.5 * eps) * gf
-            xf = xf + eps * vf_h
+            xf = xf + eps * (vf_h if inv_mass is None else inv_mass * vf_h)
             gf = spec.du(xf, *params)
             vf = vf_h - (0.5 * eps) * gf
 
             vb_h = vb - (0.5 * eps) * gb
-            xb = xb + eps * vb_h
+            xb = xb + eps * (vb_h if inv_mass is None else inv_mass * vb_h)
             gb = spec.du(xb, *params)
             vb = vb_h - (0.5 * eps) * gb
         return xf, vf, gf, xb, vb, gb
 
     def halfsq(v):  # (d, lanes) -> (1, lanes)
-        return 0.5 * jnp.sum(v * v, axis=0, keepdims=True)
+        vv = v * v if inv_mass is None else v * v * inv_mass
+        return 0.5 * jnp.sum(vv, axis=0, keepdims=True)
 
     def step(carry):
         x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
@@ -410,6 +622,8 @@ def _make_step_mm(spec: MatmulEnergySpec, params, eps, beta, m):
 
         x_pre = x
         v_fresh = _normal(x.shape)
+        if sqrt_m is not None:
+            v_fresh = v_fresh * sqrt_m  # N(0, M) refresh
         x = jnp.where(is_l, xf, x)
         v = jnp.where(is_l, vf, jnp.where(is_f, -v, v_fresh))
         g = jnp.where(is_l, gf, g)
@@ -427,18 +641,24 @@ def _mjhmc_mm_kernel(
     num_steps: int,
     num_leapfrog: int,
     unroll: int,
+    has_mass: bool,
     *refs,
 ):
     """Matmul-energy variant of ``_mjhmc_kernel`` (2-D layout)."""
     seed_ref, eps_ref, beta_ref = refs[:3]
     params = tuple(r[:] for r in refs[3 : 3 + n_params])
-    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[
-        3 + n_params : 9 + n_params
-    ]
-    outs = refs[9 + n_params :]
+    j = 3 + n_params
+    inv_mass = None
+    if has_mass:
+        inv_mass = refs[j][:]
+        j += 1
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[j : j + 6]
+    outs = refs[j + 6 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step_mm(spec, params, eps_ref[0], beta_ref[0], num_leapfrog)
+    step = _make_step_mm(
+        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    )
 
     assert num_steps % unroll == 0
 
@@ -478,6 +698,7 @@ def pallas_mjhmc_mm_run(
     lane_block: int = 1024,
     interpret: bool = False,
     unroll: int = 1,
+    inv_mass: Array | None = None,
 ) -> PallasRunOut:
     """Fused engine run for matmul energies (product-of-t, sparse coding).
 
@@ -487,12 +708,13 @@ def pallas_mjhmc_mm_run(
     """
     d, l = x.shape
     assert l % _LANES == 0
+    has_mass = inv_mass is not None
     k = spec.aux_rows()
     # live set per lane, calibrated against Mosaic's scoped-vmem report for
     # (d=128, k=64): ~32 d-row buffers (carry + trajectory temporaries +
     # double-buffered IO blocks for the 8 d-row ins/outs) + ~10 k-row matmul
     # temporaries + scalars
-    bytes_per_lane = (32 * d + 10 * k + 32) * 4
+    bytes_per_lane = ((32 + 2 * has_mass) * d + 10 * k + 32) * 4
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -515,17 +737,27 @@ def pallas_mjhmc_mm_run(
         )
         for p in params
     ]
+    mass_ins, mass_specs = [], []
+    if has_mass:
+        mass_ins = [
+            jnp.broadcast_to(
+                jnp.asarray(inv_mass, jnp.float32).reshape(d)[:, None], (d, l)
+            )
+        ]
+        mass_specs = [dspec()]
 
     if num_steps % unroll:
         unroll = 1
     kernel = functools.partial(
-        _mjhmc_mm_kernel, spec, len(params), num_steps, num_leapfrog, unroll
+        _mjhmc_mm_kernel, spec, len(params), num_steps, num_leapfrog, unroll,
+        has_mass,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, smem]
         + pspecs
+        + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
@@ -548,7 +780,7 @@ def pallas_mjhmc_mm_run(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
-        *params, x, v, g, u, h_back, back_valid,
+        *params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
     return PallasRunOut(*out)
 
@@ -582,31 +814,22 @@ def _mjhmc_kernel(
     num_steps: int,
     num_leapfrog: int,
     unroll: int,
-    # refs:
-    seed_ref,
-    eps_ref,
-    beta_ref,
-    params_ref,
-    x_ref,
-    v_ref,
-    g_ref,
-    u_ref,
-    hback_ref,
-    valid_ref,
-    # outs:
-    xo_ref,
-    vo_ref,
-    go_ref,
-    uo_ref,
-    hbacko_ref,
-    valido_ref,
-    w_ref,
-    wx_ref,
-    wx2_ref,
-    evals_ref,
+    has_mass: bool,
+    *refs,
 ):
+    seed_ref, eps_ref, beta_ref, params_ref = refs[:4]
+    i = 4
+    inv_mass = None
+    if has_mass:
+        inv_mass = refs[i][:]
+        i += 1
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[i : i + 6]
+    outs = refs[i + 6 :]
+
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step(spec, params_ref[:], eps_ref[0], beta_ref[0], num_leapfrog)
+    step = _make_step(
+        spec, params_ref[:], inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    )
 
     # Mosaic fori_loop only supports unroll ∈ {1, full}; unroll manually by
     # fusing `unroll` iterations into one loop body
@@ -623,8 +846,7 @@ def _mjhmc_kernel(
         body,
         _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
     )
-    _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
-                valido_ref, w_ref, wx_ref, wx2_ref, evals_ref)
+    _write_outs(carry, *outs)
 
 
 def _mjhmc_stream_kernel(
@@ -632,43 +854,29 @@ def _mjhmc_stream_kernel(
     num_emits: int,
     thin: int,
     num_leapfrog: int,
-    # in refs:
-    seed_ref,
-    eps_ref,
-    beta_ref,
-    params_ref,
-    x_ref,
-    v_ref,
-    g_ref,
-    u_ref,
-    hback_ref,
-    valid_ref,
-    # outs (first two live in HBM, written by explicit DMA):
-    xs_ref,  # (num_emits, d, S, L) ANY/HBM
-    ws_ref,  # (num_emits, S, L) ANY/HBM
-    xo_ref,
-    vo_ref,
-    go_ref,
-    uo_ref,
-    hbacko_ref,
-    valido_ref,
-    w_ref,
-    wx_ref,
-    wx2_ref,
-    evals_ref,
-    # scratch:
-    xscr_ref,  # (2, d, S, Lb) VMEM
-    wscr_ref,  # (2, S, Lb) VMEM
-    sem_x,  # DMA (2,)
-    sem_w,  # DMA (2,)
+    has_mass: bool,
+    *refs,
 ):
     """Streaming variant: every ``thin``-th iteration's Rao-Blackwell
     emission (pre-transition x, dwell) is double-buffered through VMEM
     scratch and DMA'd to HBM while the sampler keeps running — the fused
     engine's equivalent of ``collect="samples"``.
     """
+    seed_ref, eps_ref, beta_ref, params_ref = refs[:4]
+    j = 4
+    inv_mass = None
+    if has_mass:
+        inv_mass = refs[j][:]
+        j += 1
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[j : j + 6]
+    xs_ref, ws_ref = refs[j + 6 : j + 8]  # HBM (ANY)
+    outs = refs[j + 8 : j + 18]
+    xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
+
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step(spec, params_ref[:], eps_ref[0], beta_ref[0], num_leapfrog)
+    step = _make_step(
+        spec, params_ref[:], inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    )
     i = pl.program_id(0)
     lb = xscr_ref.shape[-1]
     lane0 = pl.multiple_of(i * lb, 128)
@@ -735,6 +943,7 @@ def _mjhmc_mm_stream_kernel(
     thin: int,
     num_leapfrog: int,
     d_pad: int,
+    has_mass: bool,
     *refs,
 ):
     """Streaming variant of ``_mjhmc_mm_kernel``: every ``thin``-th
@@ -745,15 +954,20 @@ def _mjhmc_mm_stream_kernel(
     """
     seed_ref, eps_ref, beta_ref = refs[:3]
     params = tuple(r[:] for r in refs[3 : 3 + n_params])
-    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[
-        3 + n_params : 9 + n_params
-    ]
-    xs_ref, ws_ref = refs[9 + n_params : 11 + n_params]  # HBM (ANY)
-    outs = refs[11 + n_params : 21 + n_params]
-    xscr_ref, wscr_ref, sem_x, sem_w = refs[21 + n_params :]
+    j = 3 + n_params
+    inv_mass = None
+    if has_mass:
+        inv_mass = refs[j][:]
+        j += 1
+    (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[j : j + 6]
+    xs_ref, ws_ref = refs[j + 6 : j + 8]  # HBM (ANY)
+    outs = refs[j + 8 : j + 18]
+    xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step_mm(spec, params, eps_ref[0], beta_ref[0], num_leapfrog)
+    step = _make_step_mm(
+        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    )
     i = pl.program_id(0)
     lb = xscr_ref.shape[-1]
     lane0 = pl.multiple_of(i * lb, 128)
@@ -838,6 +1052,7 @@ def pallas_mjhmc_mm_stream_run(
     thin: int,
     num_leapfrog: int,
     lane_block: int = 1024,
+    inv_mass: Array | None = None,
 ):
     """Streaming matmul-engine run: ``num_emits`` thinned Rao-Blackwell
     emissions, (xs (num_emits, d, n), ws (num_emits, 1, n), PallasRunOut).
@@ -845,8 +1060,9 @@ def pallas_mjhmc_mm_stream_run(
     d, l = x.shape
     d_pad = -(-d // _SUBLANES) * _SUBLANES  # streamed rows, sublane-aligned
     assert l % _LANES == 0
+    has_mass = inv_mass is not None
     k = spec.aux_rows()
-    bytes_per_lane = (36 * d + 10 * k + 40) * 4  # + streaming scratch
+    bytes_per_lane = ((36 + 2 * has_mass) * d + 10 * k + 40) * 4  # + scratch
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -870,16 +1086,25 @@ def pallas_mjhmc_mm_stream_run(
         )
         for p in params
     ]
+    mass_ins, mass_specs = [], []
+    if has_mass:
+        mass_ins = [
+            jnp.broadcast_to(
+                jnp.asarray(inv_mass, jnp.float32).reshape(d)[:, None], (d, l)
+            )
+        ]
+        mass_specs = [dspec()]
 
     kernel = functools.partial(
         _mjhmc_mm_stream_kernel, spec, len(params), num_emits, thin,
-        num_leapfrog, d_pad,
+        num_leapfrog, d_pad, has_mass,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem, smem, smem]
         + pspecs
+        + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
             anyspec, anyspec,
@@ -910,7 +1135,7 @@ def pallas_mjhmc_mm_stream_run(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
-        *params, x, v, g, u, h_back, back_valid,
+        *params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
     xs, ws = out[0][:, :d, :], out[1]  # strip sublane padding rows
     return xs, ws, PallasRunOut(*out[2:])
@@ -951,14 +1176,16 @@ def pallas_mjhmc_run(
     lane_block: int = 2048,
     interpret: bool = False,
     unroll: int = 1,
+    inv_mass: Array | None = None,
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
+    has_mass = inv_mass is not None
     # VMEM-aware lane blocking: the kernel's live set is ~14 d-sized + ~10
     # scalar-per-chain buffers per lane; cap the block so it fits a ~10MB
     # budget (16MB VMEM minus headroom) — matters for large-d energies
     # (e.g. the 50-D Gaussian), where a 2048-lane block overflows VMEM.
-    bytes_per_lane = (14 * d + 10) * s * 4
+    bytes_per_lane = ((14 + 2 * has_mass) * d + 10) * s * 4
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -979,15 +1206,27 @@ def pallas_mjhmc_run(
     params = jnp.broadcast_to(
         jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
     )
+    mass_ins, mass_specs = [], []
+    if has_mass:
+        mass_ins = [
+            jnp.broadcast_to(
+                jnp.asarray(inv_mass, jnp.float32).reshape(d)[:, None, None],
+                (d, s, l),
+            )
+        ]
+        mass_specs = [dspec()]
 
     if num_steps % unroll:
         unroll = 1
-    kernel = functools.partial(_mjhmc_kernel, spec, num_steps, num_leapfrog, unroll)
+    kernel = functools.partial(
+        _mjhmc_kernel, spec, num_steps, num_leapfrog, unroll, has_mass
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem]
-        + [dspec(), dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        in_specs=[smem, smem, smem, dspec()]
+        + mass_specs
+        + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
             sspec(), dspec(), dspec(), sspec(),
@@ -1009,7 +1248,7 @@ def pallas_mjhmc_run(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
-        params, x, v, g, u, h_back, back_valid,
+        params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
     return PallasRunOut(*out)
 
@@ -1033,6 +1272,7 @@ def pallas_mjhmc_stream_run(
     thin: int,
     num_leapfrog: int,
     lane_block: int = 2048,
+    inv_mass: Array | None = None,
 ):
     """Streaming engine run: ``num_emits`` thinned Rao-Blackwell emissions.
 
@@ -1042,7 +1282,8 @@ def pallas_mjhmc_stream_run(
     """
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
-    bytes_per_lane = (16 * d + 12) * s * 4  # + streaming scratch
+    has_mass = inv_mass is not None
+    bytes_per_lane = ((16 + 2 * has_mass) * d + 12) * s * 4  # + stream scratch
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1062,14 +1303,24 @@ def pallas_mjhmc_stream_run(
     params = jnp.broadcast_to(
         jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
     )
+    mass_ins, mass_specs = [], []
+    if has_mass:
+        mass_ins = [
+            jnp.broadcast_to(
+                jnp.asarray(inv_mass, jnp.float32).reshape(d)[:, None, None],
+                (d, s, l),
+            )
+        ]
+        mass_specs = [dspec()]
     kernel = functools.partial(
-        _mjhmc_stream_kernel, spec, num_emits, thin, num_leapfrog
+        _mjhmc_stream_kernel, spec, num_emits, thin, num_leapfrog, has_mass
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem]
-        + [dspec(), dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
+        in_specs=[smem, smem, smem, dspec()]
+        + mass_specs
+        + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
             anyspec, anyspec,
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
@@ -1099,7 +1350,7 @@ def pallas_mjhmc_stream_run(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
-        params, x, v, g, u, h_back, back_valid,
+        params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
     xs, ws = out[0], out[1]
     return xs, ws, PallasRunOut(*out[2:])
@@ -1165,6 +1416,10 @@ class PallasMJHMC:
     num_leapfrog_steps: int = 10
     nbatch: int = 10_240
     seed: int = 0
+    # per-dim diagonal M⁻¹ (length-ndims sequence); Stan convention: set to
+    # the target's posterior variance diagonal. None = identity (the
+    # kernels statically compile the unpreconditioned fast path).
+    inv_mass: tuple | None = None
 
     def __post_init__(self):
         self.spec = energy_spec_for(self.distribution)
@@ -1172,10 +1427,14 @@ class PallasMJHMC:
         n = ((self.nbatch + 1023) // 1024) * 1024
         self.nbatch = n
         d = self.distribution.ndims
+        if self.inv_mass is not None:
+            self.inv_mass = np.asarray(self.inv_mass, np.float32).reshape(d)
         key = jax.random.key(self.seed)
         kx, kv = jax.random.split(key)
         x = self.distribution.init_x(kx, n)
         v = jax.random.normal(kv, x.shape, jnp.float32)
+        if self.inv_mass is not None:  # momenta live in N(0, M)
+            v = v / jnp.sqrt(jnp.asarray(self.inv_mass))[:, None]
         u, g = self.distribution.potential_and_grad(x)
         if self._matmul:
             s, l = 1, n  # 2-D (d, n) layout; scalars (1, n)
@@ -1216,6 +1475,7 @@ class PallasMJHMC:
             num_emits,
             thin,
             self.num_leapfrog_steps,
+            inv_mass=self.inv_mass,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
@@ -1242,6 +1502,7 @@ class PallasMJHMC:
             jnp.float32(self.beta),
             num_steps,
             self.num_leapfrog_steps,
+            inv_mass=self.inv_mass,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
@@ -1264,3 +1525,53 @@ class PallasMJHMC:
         mean = jnp.sum(out.wx, axis=red) / w
         var = jnp.sum(out.wx2, axis=red) / w - mean * mean
         return mean, var
+
+    @classmethod
+    def from_warmup(
+        cls,
+        dist,
+        seed: int = 0,
+        nbatch: int = 10_240,
+        beta: float = 0.1,
+        num_leapfrog_steps: int = 10,
+        **warmup_kwargs,
+    ) -> "PallasMJHMC":
+        """Stan-style warmup → fused engine.
+
+        Runs ``samplers.adaptation.mjhmc_full_warmup`` on the XLA reference
+        path (three phases: dual-averaged ε, variance-estimated diagonal
+        M⁻¹, ε re-tune under the metric), then hands the tuned (ε, M⁻¹)
+        AND the warmed chain state to the speed-of-light kernel — the
+        adaptation output drives the fused path directly.
+        """
+        from mjhmc_tpu.samplers.adaptation import mjhmc_full_warmup
+
+        n = ((nbatch + 1023) // 1024) * 1024
+        state, eps, inv_mass = mjhmc_full_warmup(
+            dist,
+            jax.random.key(seed),
+            n,
+            beta=beta,
+            num_leapfrog_steps=num_leapfrog_steps,
+            **warmup_kwargs,
+        )
+        eng = cls(
+            dist,
+            epsilon=float(eps),
+            beta=beta,
+            num_leapfrog_steps=num_leapfrog_steps,
+            nbatch=n,
+            seed=seed,
+            inv_mass=tuple(float(v) for v in np.asarray(inv_mass).ravel()),
+        )
+        # adopt the warmed chains (reshaped into the engine layout)
+        ch = state.chain
+        d = dist.ndims
+        s, l = (1, n) if eng._matmul else (_SUBLANES, n // _SUBLANES)
+        eng.x = ch.x.reshape(d, s, l) if not eng._matmul else ch.x
+        eng.v = ch.v.reshape(d, s, l) if not eng._matmul else ch.v
+        eng.g = ch.grad.reshape(d, s, l) if not eng._matmul else ch.grad
+        eng.u = ch.u.reshape(s, l)
+        eng.h_back = state.h_back.astype(jnp.float32).reshape(s, l)
+        eng.back_valid = state.back_valid.astype(jnp.float32).reshape(s, l)
+        return eng

@@ -70,7 +70,8 @@ def hmc_step(
     h_l = total_energy(u_l, v_l, inv_mass)
 
     log_p = jnp.minimum(0.0, h0 - h_l)
-    accept_stat = jnp.exp(log_p)
+    # divergence-guarded: NaN h_l must read as rejection, not NaN stat
+    accept_stat = jnp.where(jnp.isfinite(h_l), jnp.exp(log_p), 0.0)
     log_u = jnp.log(jax.random.uniform(k_mh, log_p.shape, jnp.float32))
     accept = (log_u < log_p) & jnp.isfinite(h_l)
 

@@ -99,7 +99,8 @@ def malt_step(
     )
 
     log_p = jnp.minimum(0.0, -delta)
-    accept_stat = jnp.exp(log_p)
+    # divergence-guarded: NaN Δ must read as rejection, not NaN stat
+    accept_stat = jnp.where(jnp.isfinite(delta), jnp.exp(log_p), 0.0)
     log_u = jnp.log(jax.random.uniform(k_mh, log_p.shape, jnp.float32))
     accept = (log_u < log_p) & jnp.isfinite(delta)
 

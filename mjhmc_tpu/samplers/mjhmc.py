@@ -174,7 +174,11 @@ def mjhmc_step(
         x=x,
         dwell=dwell,
         sel=sel,
-        accept_stat=jnp.exp(jnp.minimum(0.0, h_cur - h_l)),
+        # divergence-guarded: a non-finite trajectory is a rejection (0),
+        # not a NaN that would poison the dual-averaging state
+        accept_stat=jnp.where(
+            jnp.isfinite(h_l), jnp.exp(jnp.minimum(0.0, h_cur - h_l)), 0.0
+        ),
         cache_err=cache_err,
     )
     return new_state, out

@@ -255,3 +255,158 @@ def test_pallas_engine_matches_xla_path_statistically():
     w = np.asarray(rout["dwell"])[:, None, :]
     var_x = (w * xs**2).sum(axis=(0, 2)) / w.sum()
     np.testing.assert_allclose(np.asarray(var_p), var_x, rtol=0.1)
+
+
+def test_zoo_energy_spec_codegen_matches_distribution():
+    """New fused specs (funnel, banana, mog) on the (d,8,L) layout and
+    logreg on the 2-D matmul layout == the distributions' fused pg."""
+    from mjhmc_tpu.models import Banana, Funnel, GaussianMixture
+    from mjhmc_tpu.models.logreg import LogisticRegression
+
+    for dist in (
+        Funnel(ndims=8),
+        Banana(ndims=4),
+        GaussianMixture(),  # 1-D two-mode preset
+        GaussianMixture(
+            ndims=2,
+            means=((-3.0, 1.0), (2.0, 0.0)),
+            scales=(1.0, 0.5),
+            weights=(0.3, 0.7),
+        ),
+    ):
+        spec = energy_spec_for(dist)
+        n, d = 32, dist.ndims
+        x = dist.init_x(jax.random.key(0), n)
+        u_ref, g_ref = dist.potential_and_grad(x)
+        x3 = x.reshape(d, 8, n // 8)
+        params = jnp.ones_like(x3)
+        u3 = spec.u_sum(x3, params).reshape(n)
+        g3 = spec.du(x3, params).reshape(d, n)
+        np.testing.assert_allclose(
+            np.asarray(u3), np.asarray(u_ref), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g3), np.asarray(g_ref), rtol=2e-5, atol=2e-5
+        )
+
+    dist = LogisticRegression(ndims=16, nobs=64)
+    spec = energy_spec_for(dist)
+    assert isinstance(spec, MatmulEnergySpec)
+    n = 128
+    x = dist.init_x(jax.random.key(0), n)
+    u_ref, g_ref = dist.potential_and_grad(x)
+    params = [jnp.asarray(p) for p in spec.param_arrays()]
+    np.testing.assert_allclose(
+        np.asarray(spec.u_sum(x, *params)[0]), np.asarray(u_ref),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(spec.du(x, *params)), np.asarray(g_ref),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_preconditioned_engine_matches_analytic():
+    """inv_mass in the fused kernel: an ill-conditioned Gaussian sampled
+    with M⁻¹ = target variances must hit the analytic variances AND agree
+    with the preconditioned jnp path's dwell mass / eval counters."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.samplers import MarkovJumpHMC
+
+    dist = Gaussian(ndims=16, log_conditioning=3.0)
+    im = tuple(float(v) for v in np.asarray(dist.variances))
+    steps = 500
+    eng = PallasMJHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=10,
+        nbatch=4096, seed=0, inv_mass=im,
+    )
+    eng.run(300)  # burn
+    out = eng.run(steps)
+    dwell_p = float(out.w.sum()) / (eng.nbatch * steps)
+    evals_p = float(out.evals.mean())
+    _, var_p = PallasMJHMC.moments(out)
+    # preconditioning makes the 1000:1-conditioned target isotropic: one ε
+    # mixes every dim; variances must hit the analytic diagonal
+    ratio = np.asarray(var_p) / np.asarray(dist.variances)
+    assert abs(np.median(ratio) - 1.0) < 0.1, ratio
+    assert ratio.max() < 1.35 and ratio.min() > 0.65, ratio
+
+    ref = MarkovJumpHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=10,
+        nbatch=4096, seed=1, mass_diag=tuple(1.0 / np.asarray(im)),
+    )
+    ref.burn_in(300)
+    rout = ref.sample(steps)
+    dwell_x = float(np.asarray(rout["dwell"]).mean())
+    evals_x = float(np.asarray(ref.state.grad_evals).mean())
+    assert abs(dwell_p - dwell_x) < 0.05 * dwell_x
+    assert abs(evals_p - evals_x) < 0.05 * evals_x
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_warmup_drives_engine_on_funnel():
+    """mjhmc_full_warmup output (tuned ε + diagonal metric + warmed chains)
+    drives the fused engine end-to-end on Neal's funnel; the dwell-weighted
+    variances must bracket the closed-form marginals."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.models import Funnel
+
+    dist = Funnel(ndims=8, sigma_v=2.0)
+    eng = PallasMJHMC.from_warmup(
+        dist, seed=0, nbatch=8192, beta=0.2, num_leapfrog_steps=10,
+        phase1=200, phase2=300, phase3=150,
+    )
+    assert eng.inv_mass is not None and eng.epsilon > 0.0
+    out = eng.run(3000)
+    _, var = PallasMJHMC.moments(out)
+    tgt = np.asarray(dist.analytic_var())
+    # the funnel is the hard preconditioning benchmark: generous MC + bias
+    # tolerance, but the metric must get every marginal's scale right
+    ratio = np.asarray(var) / tgt
+    assert ratio.min() > 0.5 and ratio.max() < 1.6, ratio
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_zoo_engines_match_oracles():
+    """Fused engines for the zoo energies (banana, mog, logreg) reproduce
+    their closed-form / Laplace variance oracles."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    from mjhmc_tpu.models import Banana, GaussianMixture
+    from mjhmc_tpu.models.logreg import LogisticRegression
+
+    # banana: exact moments
+    dist = Banana(ndims=2)
+    eng = PallasMJHMC(
+        dist, epsilon=0.35, beta=0.15, num_leapfrog_steps=10,
+        nbatch=4096, seed=0,
+    )
+    eng.run(500)
+    out = eng.run(2000)
+    _, var = PallasMJHMC.moments(out)
+    ratio = np.asarray(var) / np.asarray(dist.analytic_var())
+    assert abs(ratio[0] - 1.0) < 0.2 and abs(ratio[1] - 1.0) < 0.3, ratio
+
+    # mog: exact-init chains + two close modes (samplable single-T)
+    dist = GaussianMixture(means=((-1.5,), (1.5,)), scales=(1.0, 1.0))
+    eng = PallasMJHMC(
+        dist, epsilon=0.8, beta=0.2, num_leapfrog_steps=5,
+        nbatch=4096, seed=0,
+    )
+    eng.run(300)
+    out = eng.run(1500)
+    _, var = PallasMJHMC.moments(out)
+    ratio = float(var[0]) / float(dist.analytic_var()[0])
+    assert abs(ratio - 1.0) < 0.2, ratio
+
+    # logreg: Laplace variance oracle (log-concave), loose tolerance
+    dist = LogisticRegression(ndims=16, nobs=256)
+    eng = PallasMJHMC(
+        dist, epsilon=0.25, beta=0.15, num_leapfrog_steps=10,
+        nbatch=2048, seed=0,
+    )
+    eng.run(400)
+    out = eng.run(1500)
+    _, var = PallasMJHMC.moments(out)
+    ratio = np.asarray(var) / dist.laplace_var()
+    assert abs(np.median(ratio) - 1.0) < 0.25, ratio
