@@ -7,10 +7,12 @@ natural-image patches under a pre-trained dictionary Φ,
 
 originally Theano-compiled, with Φ shipped as a data file. The reference's
 data file is unavailable (reference mount empty — SURVEY.md provenance
-notice), so Φ here is a deterministic synthetic Gabor-like dictionary and
-the patch batch is generated from the model itself (sparse ground-truth
-coefficients + noise); the *energy family and its scale structure* match
-the reference spec, which is what the samplers exercise.
+notice), so Φ here is PRETRAINED on-device over 1/f natural-statistics
+patches (models/dictionary_learning.py — Olshausen-Field sparse coding)
+and shipped as the package data artifact ``mjhmc_tpu/data/phi_<p>x<b>.npz``
+— the faithful analogue of the reference's "pre-trained dictionary shipped
+as a data file". For shapes with no shipped artifact, Φ falls back to a
+deterministic synthetic Gabor bank (``phi_source="gabor"`` forces it).
 
 The Φa contraction is a single (npixels × nbasis) matmul on the MXU; at
 pod scale the basis axis may be sharded over a ``model`` mesh axis with a
@@ -76,6 +78,11 @@ class SparseCoding(Distribution):
     smooth_eps: float = 1e-3  # smooth-L1 knee
     dict_seed: int = 0
     patch_seed: int = 1
+    #: "auto": shipped pretrained artifact if one matches (npixels, nbasis),
+    #: else Gabor; "pretrained": require the artifact; "gabor": force the
+    #: synthetic bank. NOTE: burn-in init caches key on the dataclass hash —
+    #: regenerating the artifact invalidates results, not the cache key.
+    phi_source: str = "auto"
 
     @property
     def ndims(self) -> int:  # type: ignore[override]
@@ -83,7 +90,27 @@ class SparseCoding(Distribution):
 
     @functools.cached_property
     def _phi(self) -> np.ndarray:
+        if self.phi_source in ("auto", "pretrained"):
+            from mjhmc_tpu.models.dictionary_learning import load_pretrained
+
+            phi = load_pretrained(self.npixels, self.nbasis)
+            if phi is not None:
+                return phi
+            if self.phi_source == "pretrained":
+                raise FileNotFoundError(
+                    f"no pretrained dictionary for ({self.npixels}, "
+                    f"{self.nbasis}); run python -m "
+                    "mjhmc_tpu.models.dictionary_learning"
+                )
         return _gabor_dictionary(self.npixels, self.nbasis, self.dict_seed)
+
+    @property
+    def uses_pretrained_phi(self) -> bool:
+        from mjhmc_tpu.models.dictionary_learning import load_pretrained
+
+        return self.phi_source in ("auto", "pretrained") and (
+            load_pretrained(self.npixels, self.nbasis) is not None
+        )
 
     @property
     def dictionary(self) -> Array:
@@ -92,8 +119,22 @@ class SparseCoding(Distribution):
 
     @functools.cached_property
     def _patch(self) -> np.ndarray:
-        """One synthetic patch generated from the model: x = Φ a₀ + ε."""
+        """Conditioning patch. With a pretrained Φ: a held-out patch from
+        the same 1/f natural-statistics ensemble Φ was trained on (the
+        reference conditioned on natural-image patches). With the Gabor
+        fallback: a patch generated from the model itself (x = Φa₀ + ε)."""
         rng = np.random.default_rng(self.patch_seed)
+        if self.uses_pretrained_phi:
+            side = int(round(np.sqrt(self.npixels)))
+            fx = np.fft.fftfreq(side)
+            rad = np.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
+            amp = np.where(rad > 0, 1.0 / np.maximum(rad, 1e-6), 0.0)
+            noise = rng.standard_normal((side, side)) + 1j * rng.standard_normal(
+                (side, side)
+            )
+            img = np.real(np.fft.ifft2(noise * amp))
+            img = (img - img.mean()) / (img.std() + 1e-8)
+            return img.ravel().astype(np.float32)
         a0 = rng.laplace(scale=0.5, size=self.nbasis)
         a0 *= rng.random(self.nbasis) < 0.1  # sparse support
         x = self._phi @ a0 + self.sigma * rng.standard_normal(self.npixels)
