@@ -216,18 +216,19 @@ def cmd_vi(args):
     from mjhmc_tpu.inference import ADVI
 
     cfg = BENCHMARK_CONFIGS[args.config]
-    head = ADVI(cfg.make_distribution(), seed=args.seed)
+    head = ADVI(cfg.make_distribution(), seed=args.seed, rank=args.rank)
     params, elbos = head.fit()
-    print(
-        json.dumps(
-            {
-                "config": args.config,
-                "final_elbo": float(np.asarray(elbos)[-50:].mean()),
-                "mu": np.asarray(params.mu).tolist()[:8],
-                "sigma": np.exp(np.asarray(params.omega)).tolist()[:8],
-            }
-        )
-    )
+    rec = {
+        "config": args.config,
+        "rank": args.rank,
+        "final_elbo": float(np.asarray(elbos)[-50:].mean()),
+        "mu": np.asarray(params.mu).tolist()[:8],
+        "sigma": np.exp(np.asarray(params.omega)).tolist()[:8],
+    }
+    if args.rank > 0:
+        cov = np.asarray(head.covariance())
+        rec["cov_diag"] = np.diag(cov).tolist()[:8]
+    print(json.dumps(rec))
 
 
 def main(argv=None):
@@ -290,6 +291,10 @@ def main(argv=None):
 
     sp = sub.add_parser("vi")
     common(sp)
+    sp.add_argument(
+        "--rank", type=int, default=0,
+        help="covariance rank: 0 = mean-field, ndims = full-rank",
+    )
     sp.set_defaults(fn=cmd_vi)
 
     sp = sub.add_parser("diagnostics")

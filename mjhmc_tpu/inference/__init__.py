@@ -1,6 +1,16 @@
 """VI and SMC heads over the shared log-density API (SURVEY.md §2.9)."""
 
-from mjhmc_tpu.inference.vi import ADVI, ADVIParams, advi_fit, elbo, sample_q
+from mjhmc_tpu.inference.vi import (
+    ADVI,
+    ADVIParams,
+    LowRankADVIParams,
+    advi_fit,
+    elbo,
+    elbo_lowrank,
+    q_covariance,
+    sample_q,
+    sample_q_lowrank,
+)
 from mjhmc_tpu.inference.smc import (
     SMC,
     SMCState,
@@ -12,9 +22,13 @@ from mjhmc_tpu.inference.smc import (
 __all__ = [
     "ADVI",
     "ADVIParams",
+    "LowRankADVIParams",
     "advi_fit",
     "elbo",
+    "elbo_lowrank",
+    "q_covariance",
     "sample_q",
+    "sample_q_lowrank",
     "SMC",
     "SMCState",
     "smc_run",

@@ -121,6 +121,7 @@ def smc_stage(
     target_accept: float = 0.65,
     rm_rate: float = 0.3,
     mutation: str = "hmc",
+    mesh=None,
 ) -> Tuple[SMCState, SMCStageOut]:
     """One SMC stage: reweight (adaptive Δλ) → resample → mutate.
 
@@ -129,6 +130,14 @@ def smc_stage(
     ChEES criterion (shared machinery with ``samplers.chees``), realized
     as masked per-particle leapfrog lengths capped at
     ``num_leapfrog_steps`` (the fixed compute budget).
+
+    ``mesh``: REQUIRED when the particle axis is sharded. The in-place
+    ``systematic_resample`` inverts the global CDF with ``searchsorted``,
+    which GSPMD cannot partition along a sharded axis (dynamic_slice on
+    sharded dims); the explicit shard_map path
+    (``parallel.collectives.distributed_systematic_resample``) all_gathers
+    the (tiny) weight vector instead and equals the single-device result
+    exactly. Reweighting/ESS reductions lower to psums either way.
     """
     x, log_w, lam = state.x, state.log_w, state.lam
     n = log_w.shape[0]
@@ -149,7 +158,14 @@ def smc_stage(
 
     # ---- resample (always, weights→uniform; Δλ chose ESS≈target) ---------
     key, k_rs = jax.random.split(state.key)
-    x = systematic_resample(k_rs, x, log_w)
+    if mesh is None:
+        x = systematic_resample(k_rs, x, log_w)
+    else:
+        from mjhmc_tpu.parallel.collectives import (
+            distributed_systematic_resample,
+        )
+
+        x = distributed_systematic_resample(k_rs, x, log_w, mesh)
     log_w = jnp.zeros_like(log_w)
 
     # ---- mutate: HMC sweeps targeting π_λ --------------------------------
@@ -250,9 +266,13 @@ def smc_run(
     init_eps: float = 0.25,
     mutation: str = "hmc",
     init_tau: float = 1.0,
+    mesh=None,
 ) -> Tuple[SMCState, dict]:
     """Full annealing run prior → target. Returns final particles ~ p and
-    the log-evidence estimate log(Z_target / Z_prior)."""
+    the log-evidence estimate log(Z_target / Z_prior).
+
+    ``mesh``: pass the chain mesh when particles are sharded (routes the
+    resample through the explicit collective — see ``smc_stage``)."""
     k_init, k_run = jax.random.split(key)
     x0 = prior_scale * jax.random.normal(
         k_init, (dist.ndims, num_particles), jnp.float32
@@ -273,7 +293,7 @@ def smc_run(
     def body(s, _):
         s, out = smc_stage(
             dist, s, prior_scale, ess_frac, num_mutation_steps,
-            num_leapfrog_steps, mutation=mutation,
+            num_leapfrog_steps, mutation=mutation, mesh=mesh,
         )
         return s, out
 

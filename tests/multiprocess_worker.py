@@ -103,6 +103,78 @@ def main() -> int:
     for shard in got.addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), expect[shard.index])
 
+    # ---- 3) multi-host-safe checkpoint: bit-exact resume across the ----
+    # process boundary (SURVEY.md §5 checkpoint row, pod semantics)
+    import tempfile
+
+    from mjhmc_tpu.utils.checkpoint import (
+        load_sharded_pytree,
+        save_sharded_pytree,
+    )
+
+    ckdir = os.path.join(tempfile.gettempdir(), f"mjhmc_ck_{port}")
+    os.makedirs(ckdir, exist_ok=True)
+    prefix = os.path.join(ckdir, "carry")
+    k_a, k_b = jax.random.key(21), jax.random.key(22)
+    seg1, _ = jax.jit(run)(gstate, k_a)
+    save_sharded_pytree(prefix, seg1)
+    restored = load_sharded_pytree(prefix, jax.tree_util.tree_map(globalize, state))
+    # leaves restored onto the same mesh, matched by shard index
+    resumed, _ = jax.jit(run)(restored, k_b)
+    direct, _ = jax.jit(run)(seg1, k_b)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(resumed), jax.tree_util.tree_leaves(direct)
+    ):
+        if jax.dtypes.issubdtype(getattr(a, "dtype", None), jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+            np.testing.assert_array_equal(np.asarray(sa.data), np.asarray(sb.data))
+
+    # ---- 4) SMC stages across processes (reweight → systematic resample
+    # → HMC mutation; the resample's global CDF spans the process
+    # boundary under GSPMD) vs the identical single-process program ------
+    from mjhmc_tpu.inference.smc import SMCState, smc_stage
+
+    k_i, k_r = jax.random.split(jax.random.key(33))
+    x0 = 3.0 * jax.random.normal(k_i, (dist.ndims, nbatch), jnp.float32)
+    smc0 = SMCState(
+        x=np.asarray(x0),
+        log_w=np.zeros((nbatch,), np.float32),
+        lam=np.float32(0.0),
+        log_z=np.float32(0.0),
+        eps=np.float32(0.25),
+        key=k_r,
+        log_tau=np.float32(0.0),
+        chees_m=np.float32(0.0),
+        chees_v=np.float32(0.0),
+        chees_step=np.int32(0),
+    )
+
+    def smc3(s, mesh=None):
+        def body(s, _):
+            s, out = smc_stage(dist, s, 3.0, 0.5, 3, 5, mesh=mesh)
+            return s, out
+
+        return jax.lax.scan(body, s, None, length=3)
+
+    s_ref, o_ref = jax.jit(smc3)(smc0)
+    gsmc0 = jax.tree_util.tree_map(
+        lambda a: globalize(a) if not jax.dtypes.issubdtype(
+            getattr(a, "dtype", None), jax.dtypes.prng_key
+        ) else a,
+        smc0,
+    )
+    s_g, o_g = jax.jit(lambda s: smc3(s, mesh=mesh))(gsmc0)
+    np.testing.assert_allclose(
+        np.asarray(o_g.lam), np.asarray(o_ref.lam), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(s_g.log_z), float(s_ref.log_z), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_g.ess), np.asarray(o_ref.ess), rtol=1e-3
+    )
+
     print(f"WORKER OK pid={pid} devices={len(jax.devices())}", flush=True)
     jax.distributed.shutdown()
     return 0

@@ -83,3 +83,51 @@ def test_smc_heavy_tailed_runs():
     assert np.isfinite(np.asarray(state.x)).all()
     lam_trace = np.asarray(trace["lam"])
     assert (np.diff(lam_trace) >= -1e-6).all()  # monotone annealing
+
+
+def test_lowrank_advi_recovers_correlated_gaussian():
+    """Full-rank (rank=d) ADVI on a correlated Gaussian: the fitted
+    covariance D² + BBᵀ must match the target covariance including the
+    off-diagonals mean-field cannot express; ELBO must converge."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.inference import ADVI, q_covariance
+    from mjhmc_tpu.models.base import Distribution
+
+    cov = np.array(
+        [[1.0, 0.8, 0.3], [0.8, 1.5, 0.5], [0.3, 0.5, 0.7]], np.float32
+    )
+    prec = np.linalg.inv(cov).astype(np.float32)
+
+    @dataclasses.dataclass(frozen=True)
+    class CorrGauss(Distribution):
+        ndims: int = 3
+
+        def potential(self, x):
+            px = jnp.einsum("ij,...jn->...in", jnp.asarray(prec), x)
+            return 0.5 * jnp.sum(x * px, axis=-2)
+
+        def init_x(self, key, nbatch):
+            return jax.random.normal(key, (3, nbatch), jnp.float32)
+
+    vi = ADVI(CorrGauss(), num_steps=3000, n_mc=128, learning_rate=0.03,
+              rank=3, seed=0)
+    params, elbos = vi.fit()
+    fitted = np.asarray(q_covariance(params))
+    np.testing.assert_allclose(fitted, cov, atol=0.15)
+    # ELBO converged upward and is near the analytic optimum: the target
+    # is the UNNORMALIZED e^{-U}, so KL=0 ⇒ ELBO* = log Z̃ = ½logdet(2πΣ)
+    e_late = float(np.mean(np.asarray(elbos)[-200:]))
+    e_early = float(np.mean(np.asarray(elbos)[:200]))
+    assert e_late > e_early
+    opt = 0.5 * np.linalg.slogdet(2 * np.pi * cov)[1]
+    assert abs(e_late - opt) < 0.1, (e_late, opt)
+
+    # mean-field on the same target must UNDERSHOOT the entropy (diagonal
+    # cannot express the correlations) — the rank knob buys real fidelity
+    vi_mf = ADVI(CorrGauss(), num_steps=3000, n_mc=128, learning_rate=0.03,
+                 seed=0)
+    _, elbos_mf = vi_mf.fit()
+    assert float(np.mean(np.asarray(elbos_mf)[-200:])) < e_late - 0.05
