@@ -22,7 +22,7 @@ from mjhmc_tpu.diagnostics.spectral import (
     spectral_gap_discrete,
 )
 from mjhmc_tpu.experiments.autocorr_experiment import calculate_autocorrelation
-from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell
+from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell, SparseCoding
 from mjhmc_tpu.samplers import ControlHMC, MarkovJumpHMC
 from mjhmc_tpu.samplers.algebraic import (
     continuous_rate_matrix,
@@ -33,38 +33,92 @@ from mjhmc_tpu.samplers.algebraic import (
 
 
 def fig_autocorr_overlay(out_dir: str, quick: bool = False):
-    """ρ vs cumulative grad evals: MJHMC vs control HMC per distribution."""
+    """ρ vs cumulative grad evals per distribution — the paper's main
+    figure, all FOUR reference distributions (SURVEY.md:121), each sampler
+    at its own search-tuned operating point (the reference tuned per
+    (sampler, distribution) via Spearmint; ``--quick`` keeps hand-set
+    points for smoke tests)."""
     steps = 400 if quick else 3000
     nbatch = 64 if quick else 512
+    # (dist, hand-set quick kwargs, search kwargs, per-dist overrides)
     dists = {
-        "gaussian_2d": (Gaussian(ndims=2, log_conditioning=2.0),
-                        dict(epsilon=1.0, num_leapfrog_steps=5)),
-        "rough_well": (RoughWell(ndims=2),
-                       dict(epsilon=4.0, num_leapfrog_steps=10)),
-        "product_of_t": (ProductOfT(ndims=36, nbasis=36),
-                         dict(epsilon=0.12, num_leapfrog_steps=5)),
+        "gaussian_2d": (
+            Gaussian(ndims=2, log_conditioning=2.0),
+            dict(epsilon=1.0, num_leapfrog_steps=5),
+            dict(eps_range=(0.05, 10.0)),
+            {},
+        ),
+        "rough_well": (
+            RoughWell(ndims=2),
+            dict(epsilon=4.0, num_leapfrog_steps=10),
+            dict(eps_range=(0.1, 20.0)),
+            {},
+        ),
+        "product_of_t": (
+            ProductOfT(ndims=36, nbasis=36),
+            dict(epsilon=0.12, num_leapfrog_steps=5),
+            dict(eps_range=(0.01, 3.0)),
+            dict(nbatch=min(nbatch, 256)),
+        ),
+        "sparse_coding": (
+            SparseCoding(),  # 128-D posterior on the pretrained Φ
+            dict(epsilon=0.02, num_leapfrog_steps=5),
+            dict(eps_range=(0.002, 0.3)),
+            dict(num_steps=min(steps, 1200), nbatch=min(nbatch, 256)),
+        ),
     }
-    fig, axes = plt.subplots(1, len(dists), figsize=(5 * len(dists), 4))
+    hand = {
+        "mjhmc": dict(beta=0.1),
+        "control": dict(beta=0.2),
+        "malt": dict(gamma=1.0),
+    }
+    fig, axes = plt.subplots(1, len(dists), figsize=(4.6 * len(dists), 4))
     artifacts = {}
-    for ax, (name, (dist, kw)) in zip(np.atleast_1d(axes), dists.items()):
-        for sampler, skw in (
-            ("mjhmc", dict(beta=0.1)),
-            ("control", dict(beta=0.2)),
-            ("malt", dict(gamma=1.0)),
-        ):
+    for ax, (name, (dist, quick_kw, search_kw, over)) in zip(
+        np.atleast_1d(axes), dists.items()
+    ):
+        n_steps = over.get("num_steps", steps)
+        n_batch = over.get("nbatch", nbatch)
+        for sampler in ("mjhmc", "control", "malt"):
+            if quick:
+                kw = dict(quick_kw, **hand[sampler])
+            else:
+                from mjhmc_tpu.search.bayes import bayes_search
+
+                res = bayes_search(
+                    dist, sampler=sampler, num_init=8, num_iters=12,
+                    num_steps=600, nbatch=128, nlags=150,
+                    m_grid=(2, 5, 10, 20), **search_kw,
+                )
+                b = res.best
+                kw = dict(
+                    epsilon=b["epsilon"],
+                    num_leapfrog_steps=b["num_leapfrog_steps"],
+                )
+                # bayes_search's 2nd coordinate is γ for MALT, β otherwise
+                kw["gamma" if sampler == "malt" else "beta"] = b["beta"]
             res = calculate_autocorrelation(
-                dist, sampler, num_steps=steps, nbatch=nbatch,
-                nlags=min(200, steps // 4),
-                use_cached_init=not quick, **skw, **kw,
+                dist, sampler, num_steps=n_steps, nbatch=n_batch,
+                nlags=min(200, n_steps // 4),
+                use_cached_init=not quick, **kw,
             )
-            ax.plot(res.grad_evals, res.rho, label=f"{sampler} (τ={res.decay_evals:.0f})")
+            label = f"{sampler} (τ={res.decay_evals:.0f}"
+            label += ", censored)" if res.censored else ")"
+            ax.plot(res.grad_evals, res.rho, label=label)
             artifacts[f"{name}_{sampler}_evals"] = res.grad_evals
             artifacts[f"{name}_{sampler}_rho"] = res.rho
+            artifacts[f"{name}_{sampler}_params"] = np.array(
+                [
+                    kw["epsilon"],
+                    kw.get("beta", kw.get("gamma", np.nan)),
+                    kw["num_leapfrog_steps"],
+                ]
+            )
         ax.set_title(name)
         ax.set_xlabel("cumulative gradient evaluations")
         ax.set_ylabel("autocorrelation")
         ax.axhline(0, color="k", lw=0.5)
-        ax.legend()
+        ax.legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(os.path.join(out_dir, "autocorr_overlay.png"), dpi=120)
     np.savez(os.path.join(out_dir, "autocorr_overlay.npz"), **artifacts)

@@ -264,42 +264,62 @@ def bayes_search(
 
     key0 = jax.random.key(seed)
     m_grid = sorted(m_grid)
-    runs = {}  # M -> jitted (eps, beta, key) -> (rho, evals)
+    runs = {}  # M -> (jitted (eps, beta, key) -> (rho, evals), nlags_m)
 
     def get_run(m: int):
         if m in runs:
             return runs[m]
+        # per-M lag window: the eval axis is lag × (~M evals/step), so a
+        # fixed nlags gives M=1 a window M× shorter than M=20 — and a
+        # CENSORED M=1 saturates at the SMALLEST window, which a naive
+        # objective would then prefer. Widen small-M windows to cover a
+        # comparable eval budget (capped by the run length).
+        nl = int(min(num_steps * 0.6, nlags * max(1.0, 10.0 / m)))
         if sampler == "mjhmc":
             state0 = make_mj_state(dist, key0, nbatch)
 
             @jax.jit
-            def run(eps, beta, key, state0=state0, m=m):
+            def run(eps, beta, key, state0=state0, m=m, nl=nl):
                 st, out = mjhmc_run(dist, state0, key, num_steps, eps, beta, m)
-                rho = weighted_autocorrelation(out["x"], out["dwell"], nlags)
+                rho = weighted_autocorrelation(out["x"], out["dwell"], nl)
                 return rho, jnp.sum(st.grad_evals)
 
         elif sampler == "control":
             state0 = make_hmc_state(dist, key0, nbatch)
 
             @jax.jit
-            def run(eps, beta, key, state0=state0, m=m):
+            def run(eps, beta, key, state0=state0, m=m, nl=nl):
                 st, out = hmc_run(dist, state0, key, num_steps, eps, beta, m)
-                rho = weighted_autocorrelation(out["x"], None, nlags)
+                rho = weighted_autocorrelation(out["x"], None, nl)
+                return rho, jnp.sum(st.grad_evals)
+
+        elif sampler == "malt":
+            # the second search coordinate is MALT's friction γ (plays β's
+            # refresh-rate role; same log-space box applies)
+            from mjhmc_tpu.samplers.malt import malt_run
+
+            state0 = make_hmc_state(dist, key0, nbatch)
+
+            @jax.jit
+            def run(eps, gamma, key, state0=state0, m=m, nl=nl):
+                st, out = malt_run(dist, state0, key, num_steps, eps, gamma, m)
+                rho = weighted_autocorrelation(out["x"], None, nl)
                 return rho, jnp.sum(st.grad_evals)
 
         else:
             raise ValueError(sampler)
-        runs[m] = run
-        return run
+        runs[m] = (run, nl)
+        return runs[m]
 
     table = []
     counter = [0]
 
     def objective(p: np.ndarray) -> float:
-        log_eps, beta, m_rel = p
+        log_eps, log_beta, m_rel = p
         m = m_grid[int(np.clip(round(m_rel), 0, len(m_grid) - 1))]
         eps = 10.0**log_eps
-        run = get_run(m)
+        beta = 10.0**log_beta
+        run, nl = get_run(m)
         rho, evals = run(
             jnp.float32(eps),
             jnp.float32(beta),
@@ -308,24 +328,35 @@ def bayes_search(
         counter[0] += 1
         rho = np.asarray(rho)
         evals_per_step = float(evals) / (num_steps * nbatch)
-        axis = np.arange(nlags) * evals_per_step
+        axis = np.arange(nl) * evals_per_step
         decay = _decay_time(axis, rho)
         if not np.isfinite(rho).all():
             decay = float("inf")
+        censored = np.isfinite(decay) and decay >= axis[-1] * 0.999
         table.append(
             dict(
                 epsilon=float(eps),
                 beta=float(beta),
                 num_leapfrog_steps=int(m),
                 decay_evals=float(decay),
+                censored=bool(censored),
             )
         )
+        if censored:
+            # a censored decay is only a LOWER bound at the window end;
+            # penalize it past any in-window point so the GP never walks
+            # toward short saturated windows (while keeping a finite,
+            # window-scaled value so it still prefers longer windows)
+            return float(np.log(axis[-1]) + 2.0)
         # log-scale objective: decay times span orders of magnitude
         return float(np.log(max(decay, 1e-9)))
 
+    # β searched in log space like ε: the refresh rate spans orders of
+    # magnitude and MJHMC's optima sit at LOW β (persistent L-chains) —
+    # a linear axis starves that region of candidates
     bounds = [
         (np.log10(eps_range[0]), np.log10(eps_range[1])),
-        beta_range,
+        (np.log10(beta_range[0]), np.log10(beta_range[1])),
         (0.0, float(len(m_grid) - 1)),
     ]
     bayes_minimize(
@@ -335,6 +366,13 @@ def bayes_search(
         num_iters=num_iters,
         seed=seed,
     )
+    # best = smallest UNCENSORED decay; fall back to censored/any only if
+    # nothing resolved inside its window
+    good = [
+        r
+        for r in table
+        if np.isfinite(r["decay_evals"]) and not r.get("censored", False)
+    ]
     finite = [r for r in table if np.isfinite(r["decay_evals"])]
-    best = min(finite or table, key=lambda r: r["decay_evals"])
+    best = min(good or finite or table, key=lambda r: r["decay_evals"])
     return SearchResult(best=best, table=table)

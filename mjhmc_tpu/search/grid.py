@@ -50,24 +50,40 @@ def grid_search(
     key0 = jax.random.key(seed)
 
     for m in m_grid:
+        # per-M lag window: the eval axis is lag × (~M evals/step); widen
+        # small-M windows so a censored short window can never look "best"
+        # (same discipline as search.bayes)
+        nl = int(min(num_steps * 0.6, nlags * max(1.0, 10.0 / m)))
         if sampler == "mjhmc":
             state0 = make_mj_state(dist, key0, nbatch)
 
             @jax.jit
-            def run(eps, beta, key, state0=state0, m=m):
+            def run(eps, beta, key, state0=state0, m=m, nl=nl):
                 st, out = mjhmc_run(
                     dist, state0, key, num_steps, eps, beta, m
                 )
-                rho = weighted_autocorrelation(out["x"], out["dwell"], nlags)
+                rho = weighted_autocorrelation(out["x"], out["dwell"], nl)
                 return rho, jnp.sum(st.grad_evals)
 
         elif sampler == "control":
             state0 = make_hmc_state(dist, key0, nbatch)
 
             @jax.jit
-            def run(eps, beta, key, state0=state0, m=m):
+            def run(eps, beta, key, state0=state0, m=m, nl=nl):
                 st, out = hmc_run(dist, state0, key, num_steps, eps, beta, m)
-                rho = weighted_autocorrelation(out["x"], None, nlags)
+                rho = weighted_autocorrelation(out["x"], None, nl)
+                return rho, jnp.sum(st.grad_evals)
+
+        elif sampler == "malt":
+            # second grid coordinate = MALT's friction γ
+            from mjhmc_tpu.samplers.malt import malt_run
+
+            state0 = make_hmc_state(dist, key0, nbatch)
+
+            @jax.jit
+            def run(eps, gamma, key, state0=state0, m=m, nl=nl):
+                st, out = malt_run(dist, state0, key, num_steps, eps, gamma, m)
+                rho = weighted_autocorrelation(out["x"], None, nl)
                 return rho, jnp.sum(st.grad_evals)
 
         else:
@@ -79,18 +95,26 @@ def grid_search(
             )
             rho = np.asarray(rho)
             evals_per_step = float(evals) / (num_steps * nbatch)
-            axis = np.arange(nlags) * evals_per_step
+            axis = np.arange(nl) * evals_per_step
             decay = _decay_time(axis, rho)
             if not np.isfinite(rho).all():
                 decay = float("inf")
+            censored = np.isfinite(decay) and decay >= axis[-1] * 0.999
             table.append(
                 dict(
                     epsilon=float(eps),
                     beta=float(beta),
                     num_leapfrog_steps=int(m),
                     decay_evals=decay,
+                    censored=bool(censored),
                 )
             )
 
-    best = min(table, key=lambda r: r["decay_evals"])
+    # best = smallest UNCENSORED decay (censored values are lower bounds)
+    good = [
+        r
+        for r in table
+        if np.isfinite(r["decay_evals"]) and not r.get("censored", False)
+    ]
+    best = min(good or table, key=lambda r: r["decay_evals"])
     return SearchResult(best=best, table=table)
