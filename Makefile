@@ -1,4 +1,16 @@
-.PHONY: test bench bench-scaling figures lint
+.PHONY: test bench bench-scaling figures lint goldens pretrain-phi claim
+
+# regenerate the committed golden autocorrelation spectra (NumPy oracle)
+goldens:
+	python tests/make_goldens.py
+
+# pretrain + persist the config-5 dictionary artifact (mjhmc_tpu/data/)
+pretrain-phi:
+	python -m mjhmc_tpu.models.dictionary_learning
+
+# the paper's headline statistical-efficiency experiment (long; TPU)
+claim:
+	python -m mjhmc_tpu.experiments.efficiency_claim --out docs/figures/efficiency_claim
 
 test:
 	python -m pytest tests/ -q

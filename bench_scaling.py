@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--chains-per-device", type=int, default=2048)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto")
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the largest-mesh run and "
+        "report the profile-derived collective-time fraction (the "
+        "one-command evidence for the >=90%% scaling target)",
+    )
     args = p.parse_args(argv)
 
     max_dev = max(args.devices)
@@ -86,7 +92,28 @@ def main(argv=None):
             "chains": nbatch,
             "value": rate,
             "unit": "steps/s",
+            "step_time_ms": best / args.steps * 1e3,
         }))
+
+        if args.profile and nd == max_dev:
+            from mjhmc_tpu.utils.profiling import (
+                parse_trace_collectives,
+                trace,
+            )
+
+            with trace(args.profile):
+                s, _ = run(st, jax.random.fold_in(key, 99))
+                float(s.dwell_sum.sum())
+            prof = parse_trace_collectives(args.profile)
+            print(json.dumps({
+                "metric": "collective_time_fraction",
+                "devices": nd,
+                "value": prof["fraction"],
+                "unit": "fraction",
+                "collective_us": prof["collective_us"],
+                "total_us": prof["total_us"],
+                "by_op": prof["by_op"],
+            }))
 
     if 1 in rates and len(rates) > 1:
         nd = max(rates)
