@@ -1,17 +1,21 @@
-"""Effective samples/sec/chip on the rough well (BASELINE north-star metric).
+"""Effective samples/sec/chip (BASELINE north-star metric).
 
 BASELINE.json's metric definitions name "effective samples/sec/chip
 (rough-well)" alongside raw leapfrog steps/sec (bench.py). This harness
-measures it end-to-end on the fused Pallas engine's streaming path:
+measures it end-to-end:
 
-  1. burn in (stats-only engine run, not timed),
-  2. stream T dwell-weighted samples for all chains (timed, host-forced),
-  3. ESS via the dwell-weighted Geyer initial-positive-sequence estimator
-     (diagnostics/autocorr.py) computed on-device over all chains.
+  - ``--sampler mjhmc`` (default): the fused Pallas engine's streaming
+    path (burn → timed stream of dwell-weighted samples → dwell-weighted
+    Geyer ESS, computed on-device, excluded from the timed window);
+  - ``--sampler control|nuts``: the XLA samplers' ``sample`` path, same
+    protocol with unweighted ESS.
 
-Prints ONE JSON line like bench.py. ESS computation is diagnostics, not
-sampling, and is excluded from the timed window; the JSON carries both the
-sampling wall time and the ESS so the division is auditable.
+Single-run mode prints ONE JSON line like bench.py (best-of-3 trials,
+host-forced timing). ``--table`` sweeps configs × samplers — with
+``--tune`` each (config, sampler) pair first gets a dense log-grid
+(ε, β, M) search (search/grid.py; objective = grad evals to ρ=1/e) and is
+measured at its own optimum: the tuned north-star receipts
+(VERDICT round-1 item 3).
 """
 
 import argparse
@@ -19,13 +23,121 @@ import json
 import sys
 import time
 
+import numpy as np
+
 from mjhmc_tpu.config import BENCHMARK_CONFIGS
 from mjhmc_tpu.diagnostics.autocorr import effective_sample_size
+
+TABLE_CONFIGS = ("gauss2d", "rough_well", "product_of_t", "gauss50d", "sparse_coding")
+
+
+def _tune(dist, sampler, cfg, steps=600, nbatch=256):
+    """Dense log-grid (ε, β, M) around the preset; returns best row."""
+    from mjhmc_tpu.search.grid import grid_search
+
+    eps0 = cfg.epsilon
+    res = grid_search(
+        dist,
+        sampler=sampler,
+        eps_grid=tuple(np.geomspace(eps0 / 8, eps0 * 8, 7)),
+        beta_grid=tuple(np.geomspace(0.005, 1.0, 6)),
+        m_grid=(5, 10, 20),
+        num_steps=steps,
+        nbatch=min(nbatch, cfg.nbatch),
+        nlags=150,
+    )
+    return res.best
+
+
+def measure(
+    config: str,
+    sampler: str = "mjhmc",
+    steps: int = 2000,
+    burn: int = 500,
+    epsilon=None,
+    beta=None,
+    m=None,
+    trials: int = 3,
+) -> dict:
+    """ESS/sec/chip for one (config, sampler) at the given operating point."""
+    import jax.numpy as jnp
+
+    cfg = BENCHMARK_CONFIGS[config]
+    dist = cfg.make_distribution()
+    epsilon = cfg.epsilon if epsilon is None else epsilon
+    beta = cfg.beta if beta is None else beta
+    m = cfg.num_leapfrog_steps if m is None else m
+
+    if sampler == "mjhmc":
+        from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+        eng = PallasMJHMC(
+            dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
+            nbatch=cfg.nbatch, seed=0,
+        )
+        eng.run(burn)  # burn-in + engine compile
+        # warm the streaming kernel at the SAME num_emits — it is a static
+        # kernel parameter, so a different warmup size would leave the
+        # timed call paying the compile
+        xs, ws = eng.sample(steps)
+        float(ws.sum())
+        wall = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            xs, ws = eng.sample(steps)
+            float(ws.sum())  # force host materialization (axon tunnel)
+            wall = min(wall, time.perf_counter() - t0)
+        ess = float(effective_sample_size(xs, ws))
+        chains = eng.nbatch
+    elif sampler in ("control", "nuts"):
+        from mjhmc_tpu.samplers import ControlHMC, NUTS
+
+        if sampler == "control":
+            s = ControlHMC(
+                dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
+                nbatch=cfg.nbatch, seed=0,
+            )
+        else:
+            s = NUTS(dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=0)
+        s.burn_in(burn)
+        out = s.sample(steps)
+        float(jnp.sum(out["x"]))
+        wall = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = s.sample(steps)
+            float(jnp.sum(out["x"]))
+            wall = min(wall, time.perf_counter() - t0)
+        ess = float(effective_sample_size(out["x"]))
+        chains = cfg.nbatch
+    else:
+        raise ValueError(sampler)
+
+    return {
+        "metric": "effective_samples_per_sec_per_chip",
+        "value": ess / wall,
+        "unit": "ess/s",
+        "vs_baseline": None,  # reference publishes no absolute numbers
+        "detail": {
+            "config": config,
+            "sampler": sampler,
+            "ess_total": ess,
+            "sampling_wall_s": wall,
+            "steps": steps,
+            "chains": int(chains),
+            "raw_samples": steps * int(chains),
+            "epsilon": float(epsilon),
+            "beta": float(beta),
+            "num_leapfrog_steps": int(m),
+        },
+    }
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="rough_well")
+    ap.add_argument("--sampler", default="mjhmc",
+                    choices=["mjhmc", "control", "nuts"])
     ap.add_argument("--steps", type=int, default=2000, help="streamed samples")
     ap.add_argument("--burn", type=int, default=500)
     # hyperparameter overrides — feed `python -m mjhmc_tpu search` output
@@ -33,67 +145,54 @@ def main(argv=None):
     ap.add_argument("--epsilon", type=float, default=None)
     ap.add_argument("--beta", type=float, default=None)
     ap.add_argument("--num-leapfrog-steps", type=int, default=None)
+    ap.add_argument("--table", action="store_true",
+                    help="sweep all BASELINE configs x samplers")
+    ap.add_argument("--tune", action="store_true",
+                    help="grid-tune (eps, beta, M) per pair before measuring")
+    ap.add_argument("--json-out", default=None)
     a = ap.parse_args(argv)
-    num_emits, burn = a.steps, a.burn
 
-    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
-
-    cfg = BENCHMARK_CONFIGS[a.config]
-    dist = cfg.make_distribution()
-    epsilon = cfg.epsilon if a.epsilon is None else a.epsilon
-    beta = cfg.beta if a.beta is None else a.beta
-    m = cfg.num_leapfrog_steps if a.num_leapfrog_steps is None else a.num_leapfrog_steps
-    eng = PallasMJHMC(
-        dist,
-        epsilon=epsilon,
-        beta=beta,
-        num_leapfrog_steps=m,
-        nbatch=cfg.nbatch,
-        seed=0,
-    )
     try:
-        eng.run(burn)  # burn-in + engine compile
+        if not a.table:
+            rec = measure(
+                a.config, a.sampler, a.steps, a.burn,
+                a.epsilon, a.beta, a.num_leapfrog_steps,
+            )
+            print(json.dumps(rec))
+            return 0
+
+        rows = []
+        for config in TABLE_CONFIGS:
+            cfg = BENCHMARK_CONFIGS[config]
+            for sampler in ("mjhmc", "control", "nuts"):
+                eps = beta = m = None
+                tuned = False
+                if a.tune and sampler != "nuts":  # NUTS adapts its own path
+                    best = _tune(cfg.make_distribution(), sampler, cfg)
+                    eps, beta, m = (
+                        best["epsilon"], best["beta"],
+                        best["num_leapfrog_steps"],
+                    )
+                    tuned = not best.get("censored", False)
+                rec = measure(config, sampler, a.steps, a.burn, eps, beta, m)
+                rec["detail"]["tuned"] = tuned
+                rows.append(rec)
+                print(json.dumps(rec), flush=True)
+        if a.json_out:
+            with open(a.json_out, "w") as f:
+                json.dump(rows, f, indent=1)
+        return 0
     except Exception as e:
-        print(
-            "# pallas engine unavailable — this benchmark requires a real "
-            f"TPU ({type(e).__name__})",
-            file=sys.stderr,
-        )
-        return 1
-    # warm the streaming kernel at the SAME num_emits — it is a static
-    # kernel parameter, so a different warmup size would leave the timed
-    # call paying the compile
-    xs, ws = eng.sample(num_emits)
-    float(ws.sum())
+        import jax
 
-    # best-of-trials like bench.py: the tunneled axon backend has variable
-    # dispatch latency, so a single trial can misstate the headline number
-    wall = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        xs, ws = eng.sample(num_emits)
-        float(ws.sum())  # force host materialization (axon tunnel)
-        wall = min(wall, time.perf_counter() - t0)
-
-    ess = float(effective_sample_size(xs, ws))
-    out = {
-        "metric": "effective_samples_per_sec_per_chip",
-        "value": ess / wall,
-        "unit": "ess/s",
-        "vs_baseline": None,  # reference publishes no absolute numbers
-        "detail": {
-            "ess_total": ess,
-            "sampling_wall_s": wall,
-            "steps": num_emits,
-            "chains": int(cfg.nbatch),
-            "raw_samples": num_emits * int(cfg.nbatch),
-            "epsilon": epsilon,
-            "beta": beta,
-            "num_leapfrog_steps": m,
-        },
-    }
-    print(json.dumps(out))
-    return 0
+        if jax.default_backend() != "tpu":
+            print(
+                "# pallas engine unavailable — this benchmark requires a "
+                f"real TPU ({type(e).__name__})",
+                file=sys.stderr,
+            )
+            return 1
+        raise
 
 
 if __name__ == "__main__":
