@@ -231,6 +231,15 @@ def cmd_vi(args):
     print(json.dumps(rec))
 
 
+def cmd_efficiency(args):
+    from mjhmc_tpu.experiments.efficiency_claim import main as claim_main
+
+    argv = ["--out", args.out, "--seed", str(args.seed)]
+    if args.quick:
+        argv.append("--quick")
+    claim_main(argv)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mjhmc_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -301,6 +310,15 @@ def main(argv=None):
     sp.add_argument("--file", required=True, help="npz from `sample --save`")
     sp.add_argument("--nlags", type=int, default=200)
     sp.set_defaults(fn=cmd_diagnostics)
+
+    sp = sub.add_parser(
+        "efficiency",
+        help="the paper's statistical-efficiency claim experiment (long)",
+    )
+    sp.add_argument("--out", default="figures/efficiency_claim")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--quick", action="store_true")
+    sp.set_defaults(fn=cmd_efficiency)
 
     args = p.parse_args(argv)
     args.fn(args)

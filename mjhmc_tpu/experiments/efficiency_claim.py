@@ -151,9 +151,16 @@ def tuned_decay(
     return row, best_ac
 
 
-#: the battery: targets spanning smooth → barrier-dominated, plus the
-#: heavy-tailed MXU energy. Window sizes chosen so confirmed decays are
-#: uncensored (amp-4 mixes ~4x slower than amp-2).
+def _make_sparse_coding():
+    from mjhmc_tpu.models.sparse_coding import SparseCoding
+
+    return SparseCoding()  # 128-D posterior on the pretrained Φ
+
+
+#: the battery: targets spanning smooth → barrier-dominated, the
+#: heavy-tailed MXU energy, and the 128-D sparse-coding posterior (the
+#: paper's four distributions + the amplitude ladder). Window sizes chosen
+#: so confirmed decays are uncensored (amp-4 mixes ~4x slower than amp-2).
 DEFAULT_TARGETS = (
     ("rough_well[a=1]", lambda: RoughWell(2, 100.0, 4.0, amplitude=1.0), {}),
     ("rough_well[a=2]", lambda: RoughWell(2, 100.0, 4.0, amplitude=2.0), {}),
@@ -171,6 +178,19 @@ DEFAULT_TARGETS = (
         "product_of_t",
         lambda: ProductOfT(ndims=36, nbasis=36),
         dict(eps_range=(0.01, 3.0), nbatch=128),
+    ),
+    (
+        "sparse_coding",
+        _make_sparse_coding,
+        dict(
+            eps_range=(0.002, 0.5),
+            nbatch=128,
+            num_steps=1500,
+            nlags=300,
+            search_steps=800,
+            search_nlags=200,
+            m_grid=(2, 5, 10, 20),
+        ),
     ),
 )
 

@@ -18,8 +18,31 @@ from mjhmc_tpu.diagnostics import weighted_autocorrelation
 from mjhmc_tpu.models import Gaussian, ProductOfT, RoughWell, SparseCoding
 from mjhmc_tpu.samplers import MarkovJumpHMC
 
+from make_goldens import numpy_median_autocorrelation
+
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 ON_TPU = jax.default_backend() == "tpu"
+
+#: heavy-tailed targets compare the MEDIAN-across-chains spectrum: at
+#: ν=2.5 the pooled estimator has infinite kurtosis in its summands and
+#: does not self-average (its plateau swings ~0.15 between seeds at any
+#: practical nbatch — measured); the median curve is seed-stable.
+ROBUST = {"product_of_t"}
+
+
+def _spectrum(name, xs, ws, nlags):
+    xs, ws = np.asarray(xs), np.asarray(ws)
+    if ws is None:
+        ws = np.ones(xs.shape[:1] + xs.shape[2:], np.float32)
+    if name in ROBUST:
+        return numpy_median_autocorrelation(xs, ws, nlags)
+    return np.asarray(
+        weighted_autocorrelation(xs, ws, nlags)
+    )
+
+
+def _gold_curve(g, name):
+    return np.asarray(g["rho_med" if name in ROBUST else "rho"])
 
 DISTS = {
     "gaussian_2d": lambda: Gaussian(ndims=2, log_conditioning=2.0),
@@ -49,10 +72,8 @@ def test_jnp_path_matches_golden_spectrum(name):
     )
     s.burn_in(int(g["burn"]))
     out = s.sample(int(g["steps"]))
-    rho = np.asarray(
-        weighted_autocorrelation(out["x"], out["dwell"], int(g["nlags"]))
-    )
-    gold = np.asarray(g["rho"])
+    rho = _spectrum(name, out["x"], out["dwell"], int(g["nlags"]))
+    gold = _gold_curve(g, name)
     # MC tolerance: mean abs deviation over the window; head lags tighter
     assert np.abs(rho[:10] - gold[:10]).max() < 0.12, (rho[:10], gold[:10])
     assert np.abs(rho - gold).mean() < 0.08, np.abs(rho - gold).mean()
@@ -85,7 +106,7 @@ def test_pallas_engine_matches_golden_spectrum(name):
     )
     eng.run(int(g["burn"]))
     xs, ws = eng.sample(int(g["steps"]))
-    rho = np.asarray(weighted_autocorrelation(xs, ws, int(g["nlags"])))
-    gold = np.asarray(g["rho"])
+    rho = _spectrum(name, xs, ws, int(g["nlags"]))
+    gold = _gold_curve(g, name)
     assert np.abs(rho[:10] - gold[:10]).max() < 0.12
     assert np.abs(rho - gold).mean() < 0.08
