@@ -22,20 +22,30 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _xcorr_fft(a: Array, b: Array, nlags: int) -> Array:
-    """Σ_t a_t·b_{t+τ} for τ=0..nlags-1 via FFT. a, b: (T, ...) time-leading."""
-    t = a.shape[0]
+def _nfft(t: int) -> int:
     nfft = 1
     while nfft < 2 * t:
         nfft *= 2
+    return nfft
+
+
+def _autocorr_fft(a: Array, nlags: int) -> Array:
+    """Σ_t a_t·a_{t+τ} for τ=0..nlags-1 via one FFT. a: (T, ...) time-leading.
+
+    a ≡ b in every use here, so conj(F a)·(F a) = |F a|² — one rfft and a
+    real power spectrum instead of two transforms and a complex product.
+    """
+    nfft = _nfft(a.shape[0])
     fa = jnp.fft.rfft(a, n=nfft, axis=0)
-    fb = jnp.fft.rfft(b, n=nfft, axis=0)
-    corr = jnp.fft.irfft(jnp.conj(fa) * fb, n=nfft, axis=0)
+    corr = jnp.fft.irfft(jnp.abs(fa) ** 2, n=nfft, axis=0)
     return corr[:nlags]
 
 
 def weighted_autocorrelation(
-    x: Array, w: Array | None = None, nlags: int | None = None
+    x: Array,
+    w: Array | None = None,
+    nlags: int | None = None,
+    max_fft_bytes: int = 256 * 2**20,
 ) -> Array:
     """Dwell-weighted autocorrelation curve.
 
@@ -44,6 +54,10 @@ def weighted_autocorrelation(
          sampler scans).
       w: Rao-Blackwell dwell weights (T, nbatch), or None for uniform.
       nlags: number of lags (default T//2).
+      max_fft_bytes: cap on the complex FFT workspace; larger batches are
+        processed in chain chunks (the lag sums pool over chains, so
+        chunk-and-accumulate is exact). Keeps long streamed runs (e.g.
+        2000×36×4096 product-of-t) from exhausting HBM.
 
     Returns:
       (nlags,) autocorrelation averaged over dims and chains, ρ(0)=1.
@@ -53,16 +67,25 @@ def weighted_autocorrelation(
         nlags = t // 2
     if w is None:
         w = jnp.ones((t, nbatch), x.dtype)
-    wx = w[:, None, :]  # broadcast over dims
 
-    mu = jnp.sum(wx * x, axis=(0, 2), keepdims=True) / jnp.sum(wx, axis=(0, 2), keepdims=True)
-    xc = (x - mu) * wx
+    # per-dim weighted mean (the weight sum is dim-independent)
+    mu = jnp.sum(w[:, None, :] * x, axis=(0, 2), keepdims=True) / jnp.maximum(
+        jnp.sum(w), 1e-30
+    )
 
-    num = _xcorr_fft(xc, xc, nlags)  # Σ_t w_t w_{t+τ} dx_t dx_{t+τ}
-    wb = jnp.broadcast_to(w[:, None, :], x.shape)
-    den = _xcorr_fft(wb, wb, nlags)  # Σ_t w_t w_{t+τ}
+    chunk = max(1, min(nbatch, int(max_fft_bytes // (_nfft(t) * ndims * 8))))
+    num = jnp.zeros((nlags,), jnp.float32)
+    den = jnp.zeros((nlags,), jnp.float32)
+    for i0 in range(0, nbatch, chunk):  # static unroll; 1 iter when small
+        xs = x[:, :, i0 : i0 + chunk]
+        ws = w[:, i0 : i0 + chunk]
+        xc = (xs - mu) * ws[:, None, :]
+        # Σ_t w_t w_{t+τ} dx_t dx_{t+τ}, pooled over dims and chains
+        num = num + jnp.sum(_autocorr_fft(xc, nlags), axis=(1, 2))
+        # Σ_t w_t w_{t+τ}: identical for every dim — compute per chain only
+        den = den + jnp.sum(_autocorr_fft(ws, nlags), axis=1)
 
-    gamma = jnp.sum(num, axis=(1, 2)) / jnp.maximum(jnp.sum(den, axis=(1, 2)), 1e-30)
+    gamma = num / jnp.maximum(ndims * den, 1e-30)
     return gamma / gamma[0]
 
 

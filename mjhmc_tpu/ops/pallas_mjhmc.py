@@ -932,8 +932,7 @@ def _mjhmc_stream_kernel(
             dx.wait()
             dw.wait()
 
-    _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
-                valido_ref, w_ref, wx_ref, wx2_ref, evals_ref)
+    _write_outs(carry, *outs)
 
 
 def _mjhmc_mm_stream_kernel(

@@ -82,3 +82,16 @@ def test_grad_eval_axis():
     evals, rho = autocorrelation_vs_grad_evals(x, grad_evals_per_step=10.0)
     assert evals.shape == rho.shape
     np.testing.assert_allclose(np.asarray(evals)[:3], [0.0, 10.0, 20.0])
+
+
+def test_chunked_matches_single_shot():
+    """Chain-chunked FFT accumulation (the HBM guard for long streamed
+    runs) is exact: forcing tiny chunks reproduces the one-shot curve."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((256, 3, 40)).astype(np.float32))
+    w = jnp.asarray(rng.random((256, 40)).astype(np.float32) + 0.1)
+    full = weighted_autocorrelation(x, w, nlags=64)
+    chunked = weighted_autocorrelation(x, w, nlags=64, max_fft_bytes=20_000)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-6
+    )
