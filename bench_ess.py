@@ -49,6 +49,29 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256):
     return res.best
 
 
+def _tune_nuts(dist, cfg, windows=15, wsteps=10):
+    """NUTS's own tuning knob is ε → dual-average to the 0.8 target."""
+    import jax
+    import jax.numpy as jnp
+
+    from mjhmc_tpu.samplers.adaptation import da_epsilon, da_init, da_update
+    from mjhmc_tpu.samplers.nuts import make_nuts_state, nuts_run
+
+    nbatch = min(256, cfg.nbatch)
+    key = jax.random.key(11)
+    key, k0 = jax.random.split(key)
+    state = make_nuts_state(dist, k0, nbatch)
+    run = jax.jit(
+        lambda s, k, eps: nuts_run(dist, s, k, wsteps, eps)  # ε traced
+    )
+    da = da_init(cfg.epsilon)
+    for _ in range(windows):
+        key, k = jax.random.split(key)
+        state, out = run(state, k, da_epsilon(da))
+        da = da_update(da, jnp.mean(out["accept_stat"]), target=0.8)
+    return float(da_epsilon(da, frozen=True))
+
+
 def measure(
     config: str,
     sampler: str = "mjhmc",
@@ -67,6 +90,12 @@ def measure(
     epsilon = cfg.epsilon if epsilon is None else epsilon
     beta = cfg.beta if beta is None else beta
     m = cfg.num_leapfrog_steps if m is None else m
+
+    # cap the streamed window so one (steps, d, nbatch) f32 block stays
+    # under ~2 GB — the timed loop holds two copies live (previous + new),
+    # and e.g. sparse_coding at 2000×128×8192 would otherwise exhaust HBM
+    cap = int(2_000_000_000 // (4 * dist.ndims * cfg.nbatch))
+    steps = max(100, min(steps, cap))
 
     if sampler == "mjhmc":
         from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
@@ -147,6 +176,8 @@ def main(argv=None):
     ap.add_argument("--num-leapfrog-steps", type=int, default=None)
     ap.add_argument("--table", action="store_true",
                     help="sweep all BASELINE configs x samplers")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of table configs")
     ap.add_argument("--tune", action="store_true",
                     help="grid-tune (eps, beta, M) per pair before measuring")
     ap.add_argument("--json-out", default=None)
@@ -162,12 +193,19 @@ def main(argv=None):
             return 0
 
         rows = []
-        for config in TABLE_CONFIGS:
+        table = TABLE_CONFIGS
+        if a.configs:
+            table = tuple(c for c in a.configs.split(",") if c)
+        for config in table:
             cfg = BENCHMARK_CONFIGS[config]
             for sampler in ("mjhmc", "control", "nuts"):
                 eps = beta = m = None
                 tuned = False
-                if a.tune and sampler != "nuts":  # NUTS adapts its own path
+                if a.tune and sampler == "nuts":
+                    # NUTS's tunable is ε alone (depth is adaptive)
+                    eps = _tune_nuts(cfg.make_distribution(), cfg)
+                    tuned = True
+                elif a.tune:
                     best = _tune(cfg.make_distribution(), sampler, cfg)
                     eps, beta, m = (
                         best["epsilon"], best["beta"],

@@ -150,6 +150,20 @@ BENCHMARK_CONFIGS = {
         num_leapfrog_steps=8,
         description="Haario banana (twisted Gaussian), curved-ridge exploration",
     ),
+    # beyond-reference: canonical hierarchical posterior, exact 2-D-quadrature
+    # oracle (school effects integrate out analytically)
+    "eight_schools": BenchmarkConfig(
+        name="eight_schools",
+        distribution="eight_schools",
+        dist_kwargs=(),
+        sampler="mjhmc",
+        nbatch=1024,
+        epsilon=0.5,
+        beta=0.1,
+        num_leapfrog_steps=8,
+        description="Rubin's eight schools (centered): funnel-on-real-data "
+        "shrinkage target with exact quadrature moments",
+    ),
     # beyond-reference: real Bayesian-inference target (MXU likelihood)
     "logreg": BenchmarkConfig(
         name="logreg",

@@ -14,6 +14,7 @@ from mjhmc_tpu.models.mog import GaussianMixture
 from mjhmc_tpu.models.funnel import Funnel
 from mjhmc_tpu.models.banana import Banana
 from mjhmc_tpu.models.logreg import LogisticRegression
+from mjhmc_tpu.models.eight_schools import EightSchools
 
 __all__ = [
     "Distribution",
@@ -28,4 +29,5 @@ __all__ = [
     "Funnel",
     "Banana",
     "LogisticRegression",
+    "EightSchools",
 ]

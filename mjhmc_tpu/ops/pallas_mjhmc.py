@@ -411,8 +411,88 @@ class LogregSpec(MatmulEnergySpec):
         ) * jnp.sum(th * th, axis=0, keepdims=True)
 
 
+@dataclasses.dataclass(frozen=True)
+class EightSchoolsSpec(EnergySpec):
+    """Eight-schools hierarchical posterior (models/eight_schools.py):
+    row 0 = μ, row 1 = ℓ = log τ, rows 2.. = θⱼ. Scalar prior hyperparams
+    are baked statically; the per-school data (yⱼ, 1/σⱼ²) ship as TWO
+    stacked rows of the params input (param_vector returns 2d entries —
+    the generalized param plumbing in the elementwise wrappers). Row
+    dispatch is the same broadcasted-iota masking as FunnelSpec."""
+
+    ndims: int
+    mu_scale: float
+    log_tau_scale: float
+    y: tuple
+    inv_sig2: tuple
+    centered: bool = True
+
+    def param_vector(self, ndims: int) -> np.ndarray:
+        y_row = np.zeros((ndims,), np.float32)
+        i_row = np.zeros((ndims,), np.float32)
+        y_row[2:] = np.asarray(self.y, np.float32)
+        i_row[2:] = np.asarray(self.inv_sig2, np.float32)
+        return np.concatenate([y_row, i_row])
+
+    def _split(self, x, params):
+        d = self.ndims
+        mu, l = x[0], x[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        return mu, l, idx, idx >= 2, params[:d], params[d:]
+
+    def _prior(self, mu, l):
+        return 0.5 * mu * mu * (1.0 / self.mu_scale**2) + 0.5 * l * l * (
+            1.0 / self.log_tau_scale**2
+        )
+
+    def du(self, x, params):
+        mu, l, idx, th_mask, yv, is2 = self._split(x, params)
+        k = self.ndims - 2
+        if self.centered:
+            e2 = jnp.exp(-2.0 * l)
+            dth = jnp.where(th_mask, x - mu[None], 0.0)
+            gmu = mu * (1.0 / self.mu_scale**2) - e2 * jnp.sum(dth, axis=0)
+            gl = (
+                l * (1.0 / self.log_tau_scale**2)
+                + k
+                - e2 * jnp.sum(dth * dth, axis=0)
+            )
+            gth = e2[None] * dth + jnp.where(th_mask, (x - yv) * is2, 0.0)
+        else:
+            e = jnp.exp(l)
+            ri = jnp.where(th_mask, (mu[None] + e[None] * x - yv) * is2, 0.0)
+            gmu = mu * (1.0 / self.mu_scale**2) + jnp.sum(ri, axis=0)
+            gl = l * (1.0 / self.log_tau_scale**2) + e * jnp.sum(
+                x * ri, axis=0
+            )
+            gth = jnp.where(th_mask, x, 0.0) + e[None] * ri
+        return jnp.where(idx == 0, gmu[None], jnp.where(idx == 1, gl[None], gth))
+
+    def u_sum(self, x, params):
+        mu, l, idx, th_mask, yv, is2 = self._split(x, params)
+        k = self.ndims - 2
+        if self.centered:
+            dth = jnp.where(th_mask, x - mu[None], 0.0)
+            r = jnp.where(th_mask, x - yv, 0.0)
+            return (
+                self._prior(mu, l)
+                + k * l
+                + 0.5 * jnp.exp(-2.0 * l) * jnp.sum(dth * dth, axis=0)
+                + 0.5 * jnp.sum(r * r * is2, axis=0)
+            )
+        e = jnp.exp(l)
+        r = jnp.where(th_mask, mu[None] + e[None] * x - yv, 0.0)
+        z = jnp.where(th_mask, x, 0.0)
+        return (
+            self._prior(mu, l)
+            + 0.5 * jnp.sum(z * z, axis=0)
+            + 0.5 * jnp.sum(r * r * is2, axis=0)
+        )
+
+
 def energy_spec_for(dist) -> EnergySpec:
     from mjhmc_tpu.models.banana import Banana
+    from mjhmc_tpu.models.eight_schools import EightSchools
     from mjhmc_tpu.models.funnel import Funnel
     from mjhmc_tpu.models.logreg import LogisticRegression
     from mjhmc_tpu.models.mog import GaussianMixture
@@ -438,6 +518,15 @@ def energy_spec_for(dist) -> EnergySpec:
         )
     if isinstance(dist, LogisticRegression):
         return LogregSpec(dist)
+    if isinstance(dist, EightSchools):
+        return EightSchoolsSpec(
+            dist.ndims,
+            dist.mu_scale,
+            dist.log_tau_scale,
+            tuple(float(v) for v in dist.y),
+            tuple(1.0 / float(s) ** 2 for s in dist.sigma),
+            centered=dist.parameterization == "centered",
+        )
     raise TypeError(
         f"no fused Pallas energy for {type(dist).__name__}; use the XLA path"
     )
@@ -1200,10 +1289,14 @@ def pallas_mjhmc_run(
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # per-dim parameter vector broadcast to the state layout (kernel input —
-    # Pallas forbids captured array constants); one-time DMA per run
-    params = jnp.broadcast_to(
-        jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
+    # parameter vector broadcast to the state layout (kernel input — Pallas
+    # forbids captured array constants); one-time DMA per run. Row count is
+    # spec-defined (usually d; 2d for specs shipping two per-dim vectors,
+    # e.g. EightSchoolsSpec's (y, 1/σ²) rows).
+    pv = np.asarray(spec.param_vector(d), np.float32)
+    params = jnp.broadcast_to(pv[:, None, None], (pv.shape[0], s, l))
+    pspec = pl.BlockSpec(
+        (pv.shape[0], s, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
     mass_ins, mass_specs = [], []
     if has_mass:
@@ -1223,7 +1316,7 @@ def pallas_mjhmc_run(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, dspec()]
+        in_specs=[smem, smem, smem, pspec]
         + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
@@ -1299,8 +1392,10 @@ def pallas_mjhmc_stream_run(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    params = jnp.broadcast_to(
-        jnp.asarray(spec.param_vector(d))[:, None, None], (d, s, l)
+    pv = np.asarray(spec.param_vector(d), np.float32)
+    params = jnp.broadcast_to(pv[:, None, None], (pv.shape[0], s, l))
+    pspec = pl.BlockSpec(
+        (pv.shape[0], s, lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
     mass_ins, mass_specs = [], []
     if has_mass:
@@ -1317,7 +1412,7 @@ def pallas_mjhmc_stream_run(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem, smem, smem, dspec()]
+        in_specs=[smem, smem, smem, pspec]
         + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(

@@ -410,3 +410,27 @@ def test_zoo_engines_match_oracles():
     _, var = PallasMJHMC.moments(out)
     ratio = np.asarray(var) / dist.laplace_var()
     assert abs(np.median(ratio) - 1.0) < 0.25, ratio
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_eight_schools_engine_matches_quadrature():
+    """Fused engine on the eight-schools posterior (non-centered) — the
+    one spec exercising the generalized 2d-row params plumbing on real
+    Mosaic — reproduces the exact quadrature moments, preconditioned by
+    the oracle variances."""
+    from mjhmc_tpu.models import EightSchools
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+    dist = EightSchools(parameterization="noncentered")
+    tgt = np.asarray(dist.analytic_var(), np.float64)
+    eng = PallasMJHMC(
+        dist, epsilon=0.6, beta=0.15, num_leapfrog_steps=8,
+        nbatch=4096, seed=0, inv_mass=tuple(tgt),
+    )
+    eng.run(500)
+    out = eng.run(2500)
+    mean, var = PallasMJHMC.moments(out)
+    qm = np.asarray(dist.analytic_mean(), np.float64)
+    assert np.abs(np.asarray(mean) - qm).max() < 0.5, mean
+    ratio = np.asarray(var) / tgt
+    assert np.abs(ratio - 1.0).max() < 0.2, ratio

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mjhmc_tpu.models import ProductOfT, RoughWell
+from mjhmc_tpu.models import EightSchools, ProductOfT, RoughWell
 from mjhmc_tpu.ops.pallas_mjhmc import (
     energy_spec_for,
     pallas_mjhmc_mm_run,
@@ -23,8 +23,10 @@ from mjhmc_tpu.ops.pallas_mjhmc import (
 )
 
 
-def _elementwise_args(d=2, n=1024):
-    dist = RoughWell(ndims=d)
+def _elementwise_args(dist=None, n=1024):
+    # EightSchools covers the generalized (2d-row) params plumbing
+    dist = dist or RoughWell(ndims=2)
+    d = dist.ndims
     spec = energy_spec_for(dist)
     s, l = 8, n // 8
     dv = jax.ShapeDtypeStruct((d, s, l), jnp.float32)
@@ -46,8 +48,9 @@ def _matmul_args(n=128):
 
 
 @pytest.mark.parametrize("with_mass", [False, True])
-def test_elementwise_run_traces(with_mass):
-    spec, args, d = _elementwise_args()
+@pytest.mark.parametrize("dist_cls", [RoughWell, EightSchools])
+def test_elementwise_run_traces(with_mass, dist_cls):
+    spec, args, d = _elementwise_args(dist_cls())
     inv_mass = jnp.ones((d,), jnp.float32) if with_mass else None
     out = jax.eval_shape(
         lambda *a: pallas_mjhmc_run(
@@ -59,8 +62,9 @@ def test_elementwise_run_traces(with_mass):
 
 
 @pytest.mark.parametrize("with_mass", [False, True])
-def test_elementwise_stream_traces(with_mass):
-    spec, args, d = _elementwise_args()
+@pytest.mark.parametrize("dist_cls", [RoughWell, EightSchools])
+def test_elementwise_stream_traces(with_mass, dist_cls):
+    spec, args, d = _elementwise_args(dist_cls())
     inv_mass = jnp.ones((d,), jnp.float32) if with_mass else None
     xs, ws, out = jax.eval_shape(
         lambda *a: pallas_mjhmc_stream_run(
