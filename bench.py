@@ -23,7 +23,11 @@ from mjhmc_tpu.samplers import make_mj_state
 from mjhmc_tpu.samplers.mjhmc import mjhmc_run
 
 
-def bench_pallas(cfg, steps_per_call=2000, trials=3):
+def bench_pallas(cfg, steps_per_call=100_000, trials=3):
+    # steps_per_call amortizes the ~55 ms fixed per-call dispatch latency of
+    # the tunneled backend (measured: 2.6 B/s at 2k steps/call → 8.3 B/s at
+    # 100k; asymptote ≈ 8.6 B/s). Production sampling runs use long fused
+    # calls anyway — this measures the engine, not the RPC.
     from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
 
     dist = cfg.make_distribution()
