@@ -1165,7 +1165,7 @@ def pallas_mjhmc_mm_stream_run(
         return pl.BlockSpec((1, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
     params = [jnp.asarray(p) for p in spec.param_arrays()]
     pspecs = [
@@ -1390,7 +1390,7 @@ def pallas_mjhmc_stream_run(
         return pl.BlockSpec((s, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
     pv = np.asarray(spec.param_vector(d), np.float32)
     params = jnp.broadcast_to(pv[:, None, None], (pv.shape[0], s, l))
