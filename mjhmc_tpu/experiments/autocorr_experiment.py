@@ -63,6 +63,29 @@ class ACResult(NamedTuple):
         )
 
 
+def _exact_evals_axis(evals_mean: np.ndarray, nlags: int) -> np.ndarray:
+    """Exact lag→grad-evals alignment from the cumulative counter trajectory.
+
+    ``evals_mean[t]`` is the chain-mean cumulative eval counter *after* scan
+    step t. The eval distance the ρ(k) estimator actually spans is the
+    average over start times t of ``e[t+k] − e[t]`` — computed exactly here
+    (O(T) via prefix sums), instead of the stationary-rate approximation
+    ``k · total/steps``. The two agree when refresh rates are constant;
+    MJHMC at small β is bursty enough for the reference to have aligned to
+    true cumulative counters (SURVEY.md §3.3).
+    """
+    e = np.asarray(evals_mean, np.float64)
+    t = len(e)
+    c = np.concatenate([[0.0], np.cumsum(e)])  # c[i] = Σ_{s<i} e[s]
+    k = np.arange(min(nlags, t))
+    # Σ_t e[t+k] = c[T] − c[k];  Σ_t e[t] for t < T−k = c[T−k]
+    axis = ((c[t] - c[k]) - c[t - k]) / np.maximum(t - k, 1)
+    if nlags > t:  # degenerate window: extend at the mean rate
+        rate = (e[-1] - e[0]) / max(t - 1, 1)
+        axis = np.concatenate([axis, axis[-1] + rate * np.arange(1, nlags - t + 1)])
+    return axis
+
+
 def _decay_time(evals: np.ndarray, rho: np.ndarray, level: float = np.e**-1):
     below = np.nonzero(rho < level)[0]
     if len(below) == 0:
@@ -140,8 +163,10 @@ def calculate_autocorrelation(
 
     rho = np.asarray(weighted_autocorrelation(xs, w, nlags=nlags))
     total_evals = s.grad_evals
-    evals_per_step = total_evals / (num_steps * nbatch)
-    evals = np.arange(nlags) * evals_per_step
+    if "evals_mean" in out:  # exact cumulative-counter alignment
+        evals = _exact_evals_axis(np.asarray(out["evals_mean"]), nlags)
+    else:  # mean-rate fallback (engine path reports totals only)
+        evals = np.arange(nlags) * (total_evals / (num_steps * nbatch))
     decay = _decay_time(evals, rho)
     return ACResult(
         name=sampler,

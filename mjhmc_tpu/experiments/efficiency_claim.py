@@ -73,13 +73,16 @@ def tuned_decay(
     search_nlags: int = 300,
     eps_range: tuple[float, float] = (0.05, 20.0),
     # β up to 1.0 (full refresh — control's optimum in the barrier regime
-    # sits near it) and down to 0.002 (MJHMC's persistence limit)
-    beta_range: tuple[float, float] = (0.002, 1.0),
+    # sits near it) and down to 2e-4: the round-2 battery tuned every MJHMC
+    # rough-well row to the old 0.002 grid FLOOR, so the grid now extends a
+    # decade below it (boundary audit — an optimum pinned to a grid edge is
+    # unverified; the reference's Spearmint search was unclamped)
+    beta_range: tuple[float, float] = (2e-4, 1.0),
     # M=1,2 matter for MJHMC: the jump process builds long trajectories by
     # L-persistence, so fine emission granularity is a legitimate optimum
     m_grid: Sequence[int] = (1, 2, 5, 10, 20),
     n_eps: int = 8,
-    n_beta: int = 7,
+    n_beta: int = 9,
     seed: int = 0,
 ) -> tuple[ClaimRow, ACResult]:
     """Tune (ε, β, M) for ``sampler`` on ``dist``, then confirm the decay
@@ -157,22 +160,41 @@ def _make_sparse_coding():
     return SparseCoding()  # 128-D posterior on the pretrained Φ
 
 
-#: the battery: targets spanning smooth → barrier-dominated, the
-#: heavy-tailed MXU energy, and the 128-D sparse-coding posterior (the
-#: paper's four distributions + the amplitude ladder). Window sizes chosen
-#: so confirmed decays are uncensored (amp-4 mixes ~4x slower than amp-2).
+def _make_gauss50d():
+    from mjhmc_tpu.models.gaussian import Gaussian
+
+    return Gaussian(ndims=50, log_conditioning=4.0)  # BASELINE config 4
+
+
+# ε grid for the rough-well rows: round 2 pinned several MJHMC optima to
+# the 8.5-20 band with 20 as the ceiling; extend to 60 (3× above) so the
+# confirmed optimum is interior (boundary audit, VERDICT r2 item 3)
+_RW_EPS = dict(eps_range=(0.05, 60.0), n_eps=9)
+
+#: the battery: the paper's four distributions — Gaussian (50-D
+#: ill-conditioned), rough well (+ the amplitude ladder), product-of-t,
+#: and the 128-D sparse-coding posterior (SURVEY.md:286). Window sizes
+#: chosen so confirmed decays are uncensored (amp-4 mixes ~4x slower than
+#: amp-2).
 DEFAULT_TARGETS = (
-    ("rough_well[a=1]", lambda: RoughWell(2, 100.0, 4.0, amplitude=1.0), {}),
-    ("rough_well[a=2]", lambda: RoughWell(2, 100.0, 4.0, amplitude=2.0), {}),
+    (
+        "gauss50d",
+        _make_gauss50d,
+        dict(eps_range=(0.02, 2.0), nbatch=128),
+    ),
+    ("rough_well[a=1]", lambda: RoughWell(2, 100.0, 4.0, amplitude=1.0), dict(**_RW_EPS)),
+    ("rough_well[a=2]", lambda: RoughWell(2, 100.0, 4.0, amplitude=2.0), dict(**_RW_EPS)),
     (
         "rough_well[a=3]",
         lambda: RoughWell(2, 100.0, 4.0, amplitude=3.0),
-        dict(num_steps=5000, nlags=2000, search_steps=2500, search_nlags=1000),
+        dict(num_steps=5000, nlags=2000, search_steps=2500, search_nlags=1000,
+             **_RW_EPS),
     ),
     (
         "rough_well[a=4]",
         lambda: RoughWell(2, 100.0, 4.0, amplitude=4.0),
-        dict(num_steps=9000, nlags=4000, search_steps=4000, search_nlags=2000),
+        dict(num_steps=9000, nlags=4000, search_steps=4000, search_nlags=2000,
+             **_RW_EPS),
     ),
     (
         "product_of_t",

@@ -115,10 +115,13 @@ def hmc_run(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
                 flip_on_reject, inv_mass,
             )
-            return s, (o.x, o.accept, o.accept_stat)
+            ev = jnp.mean(s.grad_evals.astype(jnp.float32))
+            return s, (o.x, o.accept, o.accept_stat, ev)
 
-        state, (xs, acc, astat) = lax.scan(body, state, keys)
-        return state, {"x": xs, "accept": acc, "accept_stat": astat}
+        state, (xs, acc, astat, ev) = lax.scan(body, state, keys)
+        return state, {
+            "x": xs, "accept": acc, "accept_stat": astat, "evals_mean": ev,
+        }
 
     if collect == "stats":
         acc0 = MomentAccumulator.init(ndims, nbatch)

@@ -143,10 +143,13 @@ def malt_run(
                 dist, carry, k, epsilon, gamma, num_leapfrog_steps, unroll,
                 inv_mass,
             )
-            return s, (o.x, o.accept, o.accept_stat)
+            ev = jnp.mean(s.grad_evals.astype(jnp.float32))
+            return s, (o.x, o.accept, o.accept_stat, ev)
 
-        state, (xs, acc, astat) = lax.scan(body, state, keys)
-        return state, {"x": xs, "accept": acc, "accept_stat": astat}
+        state, (xs, acc, astat, ev) = lax.scan(body, state, keys)
+        return state, {
+            "x": xs, "accept": acc, "accept_stat": astat, "evals_mean": ev,
+        }
 
     if collect == "stats":
         acc0 = MomentAccumulator.init(ndims, nbatch)

@@ -245,17 +245,22 @@ def mjhmc_run(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
                 refresh_fraction, inv_mass,
             )
-            return s, (o.x, o.dwell, o.sel, o.accept_stat, o.cache_err)
+            # chain-mean cumulative eval counter after this step: the exact
+            # fairness-axis trajectory (SURVEY.md §3.3) — lag→evals alignment
+            # uses the actual counter path, not an average rate
+            ev = jnp.mean(s.grad_evals.astype(jnp.float32))
+            return s, (o.x, o.dwell, o.sel, o.accept_stat, o.cache_err, ev)
 
-        state, (xs, dwell, sel, acc, cerr) = lax.scan(body, state, keys)
+        state, (xs, dwell, sel, acc, cerr, ev) = lax.scan(body, state, keys)
         if thin > 1:
-            xs, dwell, sel = xs[::thin], dwell[::thin], sel[::thin]
+            xs, dwell, sel, ev = xs[::thin], dwell[::thin], sel[::thin], ev[::thin]
         return state, {
             "x": xs,
             "dwell": dwell,
             "sel": sel,
             "accept_stat": acc,
             "cache_err": cerr,
+            "evals_mean": ev,
         }
 
     if collect == "stats":

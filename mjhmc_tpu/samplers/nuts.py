@@ -266,10 +266,14 @@ def nuts_run(
 
     def body(carry, k):
         s, o = nuts_step(dist, carry, k, epsilon, max_depth, inv_mass=inv_mass)
-        return s, (o.x, o.depth, o.accept_stat, o.diverged)
+        ev = jnp.mean(s.grad_evals.astype(jnp.float32))
+        return s, (o.x, o.depth, o.accept_stat, o.diverged, ev)
 
-    state, (xs, depth, acc, div) = lax.scan(body, state, keys)
-    return state, {"x": xs, "depth": depth, "accept_stat": acc, "diverged": div}
+    state, (xs, depth, acc, div, ev) = lax.scan(body, state, keys)
+    return state, {
+        "x": xs, "depth": depth, "accept_stat": acc, "diverged": div,
+        "evals_mean": ev,
+    }
 
 
 @dataclasses.dataclass

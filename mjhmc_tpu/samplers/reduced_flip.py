@@ -138,10 +138,11 @@ def reduced_flip_hmc_run(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
                 inv_mass,
             )
-            return s, (o.x, o.sel, o.accept_stat)
+            ev = jnp.mean(s.grad_evals.astype(jnp.float32))
+            return s, (o.x, o.sel, o.accept_stat, ev)
 
-        state, (xs, sel, astat) = lax.scan(body, state, keys)
-        return state, {"x": xs, "sel": sel, "accept_stat": astat}
+        state, (xs, sel, astat, ev) = lax.scan(body, state, keys)
+        return state, {"x": xs, "sel": sel, "accept_stat": astat, "evals_mean": ev}
 
     if collect == "stats":
         acc0 = MomentAccumulator.init(ndims, nbatch)

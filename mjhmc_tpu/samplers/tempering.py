@@ -50,6 +50,9 @@ class PTState(NamedTuple):
     replica_id: Array  # (T, n) int32 — which original replica occupies rung t
     seen_hot: Array  # (T, n) bool per ORIGINAL replica: visited rung 0
     round_trips: Array  # (T, n) int32 per original replica: hot→cold passages
+    n_iter: Array = None  # () int32 explicit PT iteration count — the health
+    # metrics' denominator (grad_evals gets reset by burn_in; inferring the
+    # iteration count from it silently mis-scales after any counter reset)
 
 
 class PTStepOut(NamedTuple):
@@ -87,6 +90,7 @@ def make_pt_state(
         ),
         seen_hot=jnp.zeros((num_temps, nbatch), bool),
         round_trips=jnp.zeros((num_temps, nbatch), jnp.int32),
+        n_iter=jnp.int32(0),
     )
 
 
@@ -197,6 +201,7 @@ def pt_step(
         replica_id=rid,
         seen_hot=seen_hot,
         round_trips=round_trips,
+        n_iter=state.n_iter + jnp.int32(1),
     )
     return new_state, PTStepOut(x=x[-1], accept=accept, swap_accept=swap)
 
@@ -226,10 +231,12 @@ def pt_run(
                 dist, carry, k, p, betas, epsilon, num_leapfrog_steps,
                 unroll, scale_eps,
             )
-            return s, o.x
+            # chain-mean cumulative eval counter after this step — the exact
+            # fairness-axis trajectory (SURVEY.md §3.3); all T replicas charged
+            return s, (o.x, jnp.mean(s.grad_evals.astype(jnp.float32)))
 
-        state, xs = lax.scan(body, state, (keys, parities))
-        return state, {"x": xs}
+        state, (xs, ev) = lax.scan(body, state, (keys, parities))
+        return state, {"x": xs, "evals_mean": ev}
 
     if collect == "stats":
         acc0 = MomentAccumulator.init(ndims, nbatch)
@@ -360,12 +367,13 @@ class ParallelTempering:
             n_swap_try=jnp.zeros_like(self.state.n_swap_try),
             seen_hot=jnp.zeros_like(self.state.seen_hot),
             round_trips=jnp.zeros_like(self.state.round_trips),
+            n_iter=jnp.zeros_like(self.state.n_iter),
         )
 
     @property
     def accept_rates(self) -> np.ndarray:
         """Mean HMC acceptance per temperature, shape (T,)."""
-        n = max(int(self.state.grad_evals[0]) // (self.num_temps * self.num_leapfrog_steps), 1)
+        n = max(int(self.state.n_iter), 1)
         return np.asarray(self.state.n_accept.mean(axis=-1) / n)
 
     @property
@@ -379,11 +387,7 @@ class ParallelTempering:
         """Mean completed hot→cold passages per replica per iteration —
         the standard PT mixing-health metric (higher is better; 0 means
         replicas are not actually traversing the ladder)."""
-        n_iters = max(
-            int(self.state.grad_evals[0])
-            // (self.num_temps * self.num_leapfrog_steps),
-            1,
-        )
+        n_iters = max(int(self.state.n_iter), 1)
         return float(np.asarray(self.state.round_trips).mean() / n_iters)
 
     @property

@@ -95,3 +95,46 @@ def test_chunked_matches_single_shot():
     np.testing.assert_allclose(
         np.asarray(chunked), np.asarray(full), rtol=1e-5, atol=1e-6
     )
+
+
+def test_exact_cumulative_evals_axis():
+    """The fairness axis aligns to the actual counter trajectory
+    (SURVEY.md §3.3): constant-rate samplers give exactly k·rate; bursty
+    counters give the averaged true eval distance, not a global mean rate."""
+    from mjhmc_tpu.experiments.autocorr_experiment import _exact_evals_axis
+
+    # constant per-step cost M=7 → axis is exactly k·7
+    e = 7.0 * np.arange(1, 101)
+    axis = _exact_evals_axis(e, nlags=20)
+    np.testing.assert_allclose(axis, 7.0 * np.arange(20), rtol=0, atol=0)
+
+    # bursty: steps alternate cost 1, 19 — lag-1 distance averages to 10,
+    # lag-2 is exactly 20 (one full pair); a mean-rate axis would also say
+    # 10/20 here, but lag-1 from a *specific* parity start would say 1 or 19
+    inc = np.tile([1.0, 19.0], 50)
+    e2 = np.cumsum(inc)
+    axis2 = _exact_evals_axis(e2, nlags=4)
+    assert axis2[0] == 0.0
+    np.testing.assert_allclose(axis2[2], 20.0, rtol=1e-12)
+    np.testing.assert_allclose(axis2[1], 10.0, atol=0.1)  # parity-averaged
+
+
+def test_sampler_runs_emit_cumulative_evals():
+    """Every XLA sampler's sample path emits the per-step chain-mean
+    cumulative counter used by the exact fairness axis."""
+    from mjhmc_tpu.models import Gaussian
+    from mjhmc_tpu.samplers import ControlHMC, MarkovJumpHMC
+
+    dist = Gaussian(ndims=2, log_conditioning=1.0)
+    for cls, kw in (
+        (MarkovJumpHMC, dict(beta=0.3)),
+        (ControlHMC, dict()),
+    ):
+        s = cls(dist, epsilon=0.8, num_leapfrog_steps=4, nbatch=16, seed=0, **kw)
+        out = s.sample(12)
+        ev = np.asarray(out["evals_mean"])
+        assert ev.shape == (12,)
+        d = np.diff(ev)
+        assert np.all(d >= 4.0 - 1e-6) and np.all(d <= 8.0 + 1e-6)
+        if cls is ControlHMC:  # constant M per step — exactly 4
+            np.testing.assert_allclose(d, 4.0)
