@@ -7,8 +7,12 @@ measures it end-to-end:
   - ``--sampler mjhmc`` (default): the fused Pallas engine's streaming
     path (burn → timed stream of dwell-weighted samples → dwell-weighted
     Geyer ESS, computed on-device, excluded from the timed window);
-  - ``--sampler control|nuts``: the XLA samplers' ``sample`` path, same
-    protocol with unweighted ESS.
+  - ``--sampler control``: the fused Pallas ControlHMC engine — the
+    ENGINE-CLASS baseline (same kernel plumbing, same streaming protocol),
+    so the receipts compare sampler algorithms, not runtimes;
+  - ``--sampler control-xla|nuts``: the XLA samplers' ``sample`` path,
+    same protocol with unweighted ESS (control-xla kept for reference —
+    it was round 2's handicapped baseline).
 
 Single-run mode prints ONE JSON line like bench.py (best-of-3 trials,
 host-forced timing). ``--table`` sweeps configs × samplers — with
@@ -28,7 +32,10 @@ import numpy as np
 from mjhmc_tpu.config import BENCHMARK_CONFIGS
 from mjhmc_tpu.diagnostics.autocorr import effective_sample_size
 
-TABLE_CONFIGS = ("gauss2d", "rough_well", "product_of_t", "gauss50d", "sparse_coding")
+TABLE_CONFIGS = (
+    "gauss2d", "rough_well", "rough_well_a3", "product_of_t", "gauss50d",
+    "sparse_coding",
+)
 
 
 def _tune(dist, sampler, cfg, steps=600, nbatch=256):
@@ -49,27 +56,21 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256):
     return res.best
 
 
-def _tune_nuts(dist, cfg, windows=15, wsteps=10):
-    """NUTS's own tuning knob is ε → dual-average to the 0.8 target."""
+def _tune_nuts(dist, cfg):
+    """Stan-style NUTS warmup: dual-averaged ε AND a variance-estimated
+    diagonal mass matrix (nuts_step's inv_mass support — ε-only tuning
+    leaves ~an order of magnitude on ill-conditioned targets)."""
     import jax
-    import jax.numpy as jnp
+    import numpy as _np
 
-    from mjhmc_tpu.samplers.adaptation import da_epsilon, da_init, da_update
-    from mjhmc_tpu.samplers.nuts import make_nuts_state, nuts_run
+    from mjhmc_tpu.samplers.adaptation import nuts_full_warmup
 
     nbatch = min(256, cfg.nbatch)
-    key = jax.random.key(11)
-    key, k0 = jax.random.split(key)
-    state = make_nuts_state(dist, k0, nbatch)
-    run = jax.jit(
-        lambda s, k, eps: nuts_run(dist, s, k, wsteps, eps)  # ε traced
+    _, eps, inv_mass = nuts_full_warmup(
+        dist, jax.random.key(11), nbatch, eps0=cfg.epsilon
     )
-    da = da_init(cfg.epsilon)
-    for _ in range(windows):
-        key, k = jax.random.split(key)
-        state, out = run(state, k, da_epsilon(da))
-        da = da_update(da, jnp.mean(out["accept_stat"]), target=0.8)
-    return float(da_epsilon(da, frozen=True))
+    mass_diag = tuple(1.0 / _np.asarray(inv_mass).ravel())
+    return float(eps), mass_diag
 
 
 def measure(
@@ -81,6 +82,7 @@ def measure(
     beta=None,
     m=None,
     trials: int = 3,
+    mass_diag=None,
 ) -> dict:
     """ESS/sec/chip for one (config, sampler) at the given operating point."""
     import jax.numpy as jnp
@@ -97,10 +99,12 @@ def measure(
     cap = int(2_000_000_000 // (4 * dist.ndims * cfg.nbatch))
     steps = max(100, min(steps, cap))
 
-    if sampler == "mjhmc":
-        from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+    engine_class = "pallas" if sampler in ("mjhmc", "control") else "xla"
+    if sampler in ("mjhmc", "control"):
+        from mjhmc_tpu.ops.pallas_mjhmc import PallasControlHMC, PallasMJHMC
 
-        eng = PallasMJHMC(
+        cls = PallasMJHMC if sampler == "mjhmc" else PallasControlHMC
+        eng = cls(
             dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
             nbatch=cfg.nbatch, seed=0,
         )
@@ -118,16 +122,19 @@ def measure(
             wall = min(wall, time.perf_counter() - t0)
         ess = float(effective_sample_size(xs, ws))
         chains = eng.nbatch
-    elif sampler in ("control", "nuts"):
+    elif sampler in ("control-xla", "nuts"):
         from mjhmc_tpu.samplers import ControlHMC, NUTS
 
-        if sampler == "control":
+        if sampler == "control-xla":
             s = ControlHMC(
                 dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
                 nbatch=cfg.nbatch, seed=0,
             )
         else:
-            s = NUTS(dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=0)
+            s = NUTS(
+                dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=0,
+                mass_diag=mass_diag,
+            )
         s.burn_in(burn)
         out = s.sample(steps)
         float(jnp.sum(out["x"]))
@@ -150,6 +157,7 @@ def measure(
         "detail": {
             "config": config,
             "sampler": sampler,
+            "engine": engine_class,
             "ess_total": ess,
             "sampling_wall_s": wall,
             "steps": steps,
@@ -166,7 +174,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="rough_well")
     ap.add_argument("--sampler", default="mjhmc",
-                    choices=["mjhmc", "control", "nuts"])
+                    choices=["mjhmc", "control", "control-xla", "nuts"])
     ap.add_argument("--steps", type=int, default=2000, help="streamed samples")
     ap.add_argument("--burn", type=int, default=500)
     # hyperparameter overrides — feed `python -m mjhmc_tpu search` output
@@ -199,20 +207,25 @@ def main(argv=None):
         for config in table:
             cfg = BENCHMARK_CONFIGS[config]
             for sampler in ("mjhmc", "control", "nuts"):
-                eps = beta = m = None
+                eps = beta = m = mass = None
                 tuned = False
                 if a.tune and sampler == "nuts":
-                    # NUTS's tunable is ε alone (depth is adaptive)
-                    eps = _tune_nuts(cfg.make_distribution(), cfg)
+                    # NUTS warmup: ε via dual averaging + variance metric
+                    eps, mass = _tune_nuts(cfg.make_distribution(), cfg)
                     tuned = True
                 elif a.tune:
+                    # grid-tune on the XLA path; the operating point
+                    # transfers to the fused engine (same algorithm)
                     best = _tune(cfg.make_distribution(), sampler, cfg)
                     eps, beta, m = (
                         best["epsilon"], best["beta"],
                         best["num_leapfrog_steps"],
                     )
                     tuned = not best.get("censored", False)
-                rec = measure(config, sampler, a.steps, a.burn, eps, beta, m)
+                rec = measure(
+                    config, sampler, a.steps, a.burn, eps, beta, m,
+                    mass_diag=mass,
+                )
                 rec["detail"]["tuned"] = tuned
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)

@@ -560,11 +560,29 @@ def _normal(shape):
     return r * jnp.cos((2.0 * np.pi) * u2)
 
 
-def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
-    """Build the fused jump-iteration body shared by both kernels.
+def _bc(s, like):
+    """Broadcast a per-chain scalar block against a state block: the
+    elementwise layout keeps scalars (S, L) vs states (d, S, L) (needs a
+    new leading axis); the matmul layout keeps them (1, lanes) vs
+    (d, lanes) (broadcasts as-is)."""
+    return s if s.ndim == like.ndim else s[None]
 
-    Returns step(carry) -> (carry', (x_pre, dwell)) where x_pre/dwell are
-    the Rao-Blackwell emission of that iteration.
+
+def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
+    """Build the fused MJHMC jump-iteration body (layout-polymorphic).
+
+    Works on both engine layouts: state blocks (d, S, L) with per-chain
+    scalars (S, L) (elementwise energies), or (d, lanes) with scalars
+    (1, lanes) (matmul energies — the spec's contractions hit the MXU).
+    ``params`` is always a tuple of kernel inputs (one broadcast per-dim
+    block for elementwise specs; the spec's whole-array VMEM refs for
+    matmul specs) — specs are called ``spec.du(x, *params)``.
+
+    Returns step(state) -> (state', (x_pre, dwell, evals_inc)) where
+    state = (x, v, g, u, h_back, valid) and the emission is the iteration's
+    Rao-Blackwell sample (pre-transition x, dwell weight) plus the exact
+    int32 algorithmic-eval increment. Moment/eval accumulation lives in the
+    kernels (``_acc_update``) so MJHMC and control variants share it.
 
     ``inv_mass``: optional per-dim diagonal M⁻¹ block (state-shaped) —
     momenta ride N(0, M), kinetic energy ½vᵀM⁻¹v, positions advance by
@@ -581,27 +599,28 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
         for _ in range(m):
             vf_h = vf - (0.5 * eps) * gf
             xf = xf + eps * (vf_h if inv_mass is None else inv_mass * vf_h)
-            gf = spec.du(xf, params)
+            gf = spec.du(xf, *params)
             vf = vf_h - (0.5 * eps) * gf
 
             vb_h = vb - (0.5 * eps) * gb
             xb = xb + eps * (vb_h if inv_mass is None else inv_mass * vb_h)
-            gb = spec.du(xb, params)
+            gb = spec.du(xb, *params)
             vb = vb_h - (0.5 * eps) * gb
         return xf, vf, gf, xb, vb, gb
 
     def halfsq(v):
         vv = v * v if inv_mass is None else v * v * inv_mass
-        return 0.5 * jnp.sum(vv, axis=0)
+        # matmul layout (2-D state) keeps the (1, lanes) scalar shape
+        return 0.5 * jnp.sum(vv, axis=0, keepdims=(v.ndim == 2))
 
     def step(carry):
-        x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
+        x, v, g, u, h_back, valid = carry
         h_cur = u + halfsq(v)
 
         xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
-        uf = spec.u_sum(xf, params)
+        uf = spec.u_sum(xf, *params)
         h_l = uf + halfsq(vf)
-        h_b_fresh = spec.u_sum(xb, params) + halfsq(vb)
+        h_b_fresh = spec.u_sum(xb, *params) + halfsq(vb)
         h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
 
         def log_rate(h_to):
@@ -620,111 +639,128 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
         # categorical clock selection by inverse CDF — exactly equivalent to
         # the jnp path's Gumbel-max over log-rates, but one uniform and zero
         # transcendentals (rates are already clipped finite in linear space)
-        s_shape = h_cur.shape
-        u_sel = _uniform(s_shape) * total
+        u_sel = _uniform(h_cur.shape) * total
         is_l = u_sel < gamma_l
         is_f = (~is_l) & (u_sel < gamma_l + gamma_f)
         is_r = (~is_l) & (~is_f)
 
-        # accumulate Rao-Blackwell weighted moments of the dwelled-at state
-        w = w + dwell
-        wx = wx + dwell[None] * x
-        wx2 = wx2 + dwell[None] * x * x
-        evals = evals + jnp.float32(m) + jnp.float32(m) * (1.0 - valid)
+        # exact cost model: M forward + M backward-rebuild when cache invalid
+        evals_inc = jnp.where(valid > 0.5, jnp.int32(m), jnp.int32(2 * m))
 
         x_pre = x
         v_fresh = _normal(x.shape)
         if sqrt_m is not None:
             v_fresh = v_fresh * sqrt_m  # N(0, M) refresh
-        bl = is_l[None]
-        bf = is_f[None]
+        bl = _bc(is_l, x)
+        bf = _bc(is_f, x)
         x = jnp.where(bl, xf, x)
         v = jnp.where(bl, vf, jnp.where(bf, -v, v_fresh))
         g = jnp.where(bl, gf, g)
         u = jnp.where(is_l, uf, u)
         h_back = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
         valid = jnp.where(is_r, 0.0, 1.0)
-        return (x, v, g, u, h_back, valid, w, wx, wx2, evals), (x_pre, dwell)
+        return (x, v, g, u, h_back, valid), (x_pre, dwell, evals_inc)
 
     return step
 
 
-def _make_step_mm(spec: MatmulEnergySpec, params, inv_mass, eps, beta, m):
-    """Fused jump-iteration body for the 2-D (d, lanes) matmul layout.
+def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
+    """Fused ControlHMC iteration body — the engine-class baseline.
 
-    Same semantics as ``_make_step``; per-chain scalars are (1, lanes) so
-    every op stays a 2-D tile (Mosaic-friendly), and the energy's basis
-    contractions run on the MXU via the spec's dot_generals.
+    A strict reduction of ``_make_step`` (no F-clock, no backward cache)
+    plus the control semantics of ``samplers.hmc.hmc_step``: partial
+    momentum corruption v ← √(1−β)v + √β·ξ, M-step forward leapfrog,
+    Metropolis accept with p = min(1, exp(H₀ − H_L)), momentum FLIP on
+    reject. ``beta`` is the per-step corruption fraction here (β=1 is
+    standard full-refresh HMC). Same layout polymorphism as ``_make_step``;
+    the h_back/valid carry slots ride along untouched so both variants
+    share the kernel IO plumbing.
+
+    Emission is the post-transition x with unit weight (the control path
+    has no dwell weighting) and the exact int32 cost M per iteration.
     """
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
+    sb = jnp.sqrt(beta)
+    sb1 = jnp.sqrt(jnp.maximum(1.0 - beta, 0.0))
 
-    def leapfrog_pair(x, vf, gf, vb, gb):
-        xf, xb = x, x
-        for _ in range(m):
-            vf_h = vf - (0.5 * eps) * gf
-            xf = xf + eps * (vf_h if inv_mass is None else inv_mass * vf_h)
-            gf = spec.du(xf, *params)
-            vf = vf_h - (0.5 * eps) * gf
-
-            vb_h = vb - (0.5 * eps) * gb
-            xb = xb + eps * (vb_h if inv_mass is None else inv_mass * vb_h)
-            gb = spec.du(xb, *params)
-            vb = vb_h - (0.5 * eps) * gb
-        return xf, vf, gf, xb, vb, gb
-
-    def halfsq(v):  # (d, lanes) -> (1, lanes)
+    def halfsq(v):
         vv = v * v if inv_mass is None else v * v * inv_mass
-        return 0.5 * jnp.sum(vv, axis=0, keepdims=True)
+        return 0.5 * jnp.sum(vv, axis=0, keepdims=(v.ndim == 2))
 
     def step(carry):
-        x, v, g, u, h_back, valid, w, wx, wx2, evals = carry
-        h_cur = u + halfsq(v)
+        x, v, g, u, h_back, valid = carry
 
-        xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
+        xi = _normal(x.shape)
+        if sqrt_m is not None:
+            xi = xi * sqrt_m  # ξ ~ N(0, M)
+        v = sb1 * v + sb * xi
+        h0 = u + halfsq(v)
+
+        xf, vf, gf = x, v, g
+        for _ in range(m):
+            v_h = vf - (0.5 * eps) * gf
+            xf = xf + eps * (v_h if inv_mass is None else inv_mass * v_h)
+            gf = spec.du(xf, *params)
+            vf = v_h - (0.5 * eps) * gf
         uf = spec.u_sum(xf, *params)
         h_l = uf + halfsq(vf)
-        h_b_fresh = spec.u_sum(xb, *params) + halfsq(vb)
-        h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
 
-        def log_rate(h_to):
-            raw = -0.5 * (h_to - h_cur)
-            ok = jnp.abs(h_to) < 1e30
-            ok = ok & (h_to == h_to)
-            return jnp.where(ok, jnp.minimum(raw, LOG_RATE_MAX), NEG_INF)
+        ok = (jnp.abs(h_l) < 1e30) & (h_l == h_l)  # divergence → reject
+        p = jnp.where(ok, jnp.exp(jnp.minimum(0.0, h0 - h_l)), 0.0)
+        acc = _uniform(p.shape) < p
 
-        log_gl = log_rate(h_l)
-        log_glf = log_rate(h_b)
-        gamma_l = jnp.exp(jnp.maximum(log_gl, NEG_INF))
-        gamma_f = jnp.maximum(0.0, jnp.exp(log_glf) - gamma_l)
-        total = gamma_l + gamma_f + beta
-        dwell = 1.0 / total
+        ba = _bc(acc, x)
+        x = jnp.where(ba, xf, x)
+        v = jnp.where(ba, vf, -v)  # flip-on-reject (control variant)
+        u = jnp.where(acc, uf, u)
+        g = jnp.where(ba, gf, g)
 
-        u_sel = _uniform(h_cur.shape) * total
-        is_l = u_sel < gamma_l
-        is_f = (~is_l) & (u_sel < gamma_l + gamma_f)
-        is_r = (~is_l) & (~is_f)
-
-        w = w + dwell
-        wx = wx + dwell * x  # (1, lanes) broadcasts over d
-        wx2 = wx2 + dwell * x * x
-        evals = evals + jnp.float32(m) + jnp.float32(m) * (1.0 - valid)
-
-        x_pre = x
-        v_fresh = _normal(x.shape)
-        if sqrt_m is not None:
-            v_fresh = v_fresh * sqrt_m  # N(0, M) refresh
-        x = jnp.where(is_l, xf, x)
-        v = jnp.where(is_l, vf, jnp.where(is_f, -v, v_fresh))
-        g = jnp.where(is_l, gf, g)
-        u = jnp.where(is_l, uf, u)
-        h_back = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
-        valid = jnp.where(is_r, 0.0, 1.0)
-        return (x, v, g, u, h_back, valid, w, wx, wx2, evals), (x_pre, dwell)
+        evals_inc = jnp.full(p.shape, m, jnp.int32)
+        weight = jnp.ones_like(p)
+        return (x, v, g, u, h_back, valid), (x, weight, evals_inc)
 
     return step
+
+
+_STEP_BUILDERS = {"mjhmc": _make_step, "control": _make_step_control}
+
+
+# --------------------------------------------------------------------------
+# in-kernel accumulators: Kahan-compensated f32 moments + exact i32 counters
+# --------------------------------------------------------------------------
+def _acc_init(x, u):
+    """(w, w_c, wx, wx_c, wx2, wx2_c, evals_i32) accumulation carry."""
+    return (
+        jnp.zeros_like(u), jnp.zeros_like(u),
+        jnp.zeros_like(x), jnp.zeros_like(x),
+        jnp.zeros_like(x), jnp.zeros_like(x),
+        jnp.zeros(u.shape, jnp.int32),
+    )
+
+
+def _kadd(s, c, inc):
+    """Kahan compensated add: keeps the single-pass moment sums exact to
+    O(1) ulp over bench-scale step counts (a plain f32 sum drifts once the
+    running value passes ~2^24× the increment; CLAUDE.md pins counters and
+    the moment audit as exactness invariants). Mosaic does not reassociate
+    float arithmetic, so the correction term survives compilation — pinned
+    by the TPU-gated long-run test."""
+    y = inc - c
+    t = s + y
+    return t, (t - s) - y
+
+
+def _acc_update(acc, x_emit, weight, evals_inc):
+    w, wc, wx, wxc, wx2, wx2c, ev = acc
+    wb = _bc(weight, x_emit)
+    w, wc = _kadd(w, wc, weight)
+    wx, wxc = _kadd(wx, wxc, wb * x_emit)
+    wx2, wx2c = _kadd(wx2, wx2c, wb * x_emit * x_emit)
+    return (w, wc, wx, wxc, wx2, wx2c, ev + evals_inc)
 
 
 def _mjhmc_mm_kernel(
+    variant: str,
     spec: MatmulEnergySpec,
     n_params: int,
     num_steps: int,
@@ -745,22 +781,22 @@ def _mjhmc_mm_kernel(
     outs = refs[j + 6 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step_mm(
+    step = _STEP_BUILDERS[variant](
         spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
     )
 
     assert num_steps % unroll == 0
 
     def body(_, c):
+        s, a = c
         for _i in range(unroll):
-            c = step(c)[0]
-        return c
+            s, e = step(s)
+            a = _acc_update(a, *e)
+        return (s, a)
 
+    s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
     carry = jax.lax.fori_loop(
-        0,
-        num_steps // unroll,
-        body,
-        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+        0, num_steps // unroll, body, (s0, _acc_init(s0[0], s0[3]))
     )
     _write_outs(carry, *outs)
 
@@ -768,7 +804,8 @@ def _mjhmc_mm_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret", "unroll"
+        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret",
+        "unroll", "variant",
     ),
 )
 def pallas_mjhmc_mm_run(
@@ -788,12 +825,15 @@ def pallas_mjhmc_mm_run(
     interpret: bool = False,
     unroll: int = 1,
     inv_mass: Array | None = None,
+    variant: str = "mjhmc",
 ) -> PallasRunOut:
     """Fused engine run for matmul energies (product-of-t, sparse coding).
 
     Chain state (x, v, g + trajectory endpoints) lives in VMEM for the
     whole run; Φ/W and the patch are one-time VMEM inputs; Wᵀx / Φa
     contractions hit the MXU at f32 (HIGHEST) precision.
+    ``variant``: "mjhmc" (jump process) or "control" (fused ControlHMC —
+    the engine-class baseline; ``beta`` is then the corruption fraction).
     """
     d, l = x.shape
     assert l % _LANES == 0
@@ -802,8 +842,8 @@ def pallas_mjhmc_mm_run(
     # live set per lane, calibrated against Mosaic's scoped-vmem report for
     # (d=128, k=64): ~32 d-row buffers (carry + trajectory temporaries +
     # double-buffered IO blocks for the 8 d-row ins/outs) + ~10 k-row matmul
-    # temporaries + scalars
-    bytes_per_lane = ((32 + 2 * has_mass) * d + 10 * k + 32) * 4
+    # temporaries + scalars; +2d for the Kahan moment compensations
+    bytes_per_lane = ((34 + 2 * has_mass) * d + 10 * k + 36) * 4
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -838,8 +878,8 @@ def pallas_mjhmc_mm_run(
     if num_steps % unroll:
         unroll = 1
     kernel = functools.partial(
-        _mjhmc_mm_kernel, spec, len(params), num_steps, num_leapfrog, unroll,
-        has_mass,
+        _mjhmc_mm_kernel, variant, spec, len(params), num_steps, num_leapfrog,
+        unroll, has_mass,
     )
     out = pl.pallas_call(
         kernel,
@@ -862,7 +902,7 @@ def pallas_mjhmc_mm_run(
             jax.ShapeDtypeStruct((1, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
-            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -874,18 +914,16 @@ def pallas_mjhmc_mm_run(
     return PallasRunOut(*out)
 
 
-def _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref):
-    u = u_ref[:]
+def _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref):
     return (
-        x_ref[:], v_ref[:], g_ref[:], u, hback_ref[:], valid_ref[:],
-        jnp.zeros_like(u), jnp.zeros_like(x_ref[:]), jnp.zeros_like(x_ref[:]),
-        jnp.zeros_like(u),
+        x_ref[:], v_ref[:], g_ref[:], u_ref[:], hback_ref[:], valid_ref[:]
     )
 
 
 def _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
                 valido_ref, w_ref, wx_ref, wx2_ref, evals_ref):
-    (x, v, g, u, h_back, valid, w, wx, wx2, evals) = carry
+    (x, v, g, u, h_back, valid), acc = carry
+    (w, _, wx, _, wx2, _, evals) = acc  # compensation terms stay in-kernel
     xo_ref[:] = x
     vo_ref[:] = v
     go_ref[:] = g
@@ -899,6 +937,7 @@ def _write_outs(carry, xo_ref, vo_ref, go_ref, uo_ref, hbacko_ref,
 
 
 def _mjhmc_kernel(
+    variant: str,
     spec: EnergySpec,
     num_steps: int,
     num_leapfrog: int,
@@ -916,8 +955,8 @@ def _mjhmc_kernel(
     outs = refs[i + 6 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step(
-        spec, params_ref[:], inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    step = _STEP_BUILDERS[variant](
+        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
     )
 
     # Mosaic fori_loop only supports unroll ∈ {1, full}; unroll manually by
@@ -925,20 +964,21 @@ def _mjhmc_kernel(
     assert num_steps % unroll == 0
 
     def body(_, c):
+        s, a = c
         for _i in range(unroll):
-            c = step(c)[0]
-        return c
+            s, e = step(s)
+            a = _acc_update(a, *e)
+        return (s, a)
 
+    s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
     carry = jax.lax.fori_loop(
-        0,
-        num_steps // unroll,
-        body,
-        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+        0, num_steps // unroll, body, (s0, _acc_init(s0[0], s0[3]))
     )
     _write_outs(carry, *outs)
 
 
 def _mjhmc_stream_kernel(
+    variant: str,
     spec: EnergySpec,
     num_emits: int,
     thin: int,
@@ -963,8 +1003,8 @@ def _mjhmc_stream_kernel(
     xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step(
-        spec, params_ref[:], inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+    step = _STEP_BUILDERS[variant](
+        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
     )
     i = pl.program_id(0)
     lb = xscr_ref.shape[-1]
@@ -983,10 +1023,16 @@ def _mjhmc_stream_kernel(
         )
         return dx, dw
 
+    def drop(_, c):
+        s, a = c
+        s, e = step(s)
+        return (s, _acc_update(a, *e))
+
     def emit_body(t, carry):
         # thin-1 dropped iterations, then one emitted iteration
-        carry = jax.lax.fori_loop(0, thin - 1, lambda _, c: step(c)[0], carry)
-        carry, (x_pre, dwell) = step(carry)
+        s, a = jax.lax.fori_loop(0, thin - 1, drop, carry)
+        s, (x_pre, weight, evi) = step(s)
+        a = _acc_update(a, x_pre, weight, evi)
 
         slot = jax.lax.rem(t, 2)
 
@@ -998,17 +1044,15 @@ def _mjhmc_stream_kernel(
             dw.wait()
 
         xscr_ref[slot] = x_pre
-        wscr_ref[slot] = dwell
+        wscr_ref[slot] = weight
         dx, dw = dma_pair(slot, t)
         dx.start()
         dw.start()
-        return carry
+        return (s, a)
 
+    s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
     carry = jax.lax.fori_loop(
-        0,
-        num_emits,
-        emit_body,
-        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+        0, num_emits, emit_body, (s0, _acc_init(s0[0], s0[3]))
     )
 
     # drain outstanding DMAs (last two emissions)
@@ -1025,6 +1069,7 @@ def _mjhmc_stream_kernel(
 
 
 def _mjhmc_mm_stream_kernel(
+    variant: str,
     spec: MatmulEnergySpec,
     n_params: int,
     num_emits: int,
@@ -1053,7 +1098,7 @@ def _mjhmc_mm_stream_kernel(
     xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    step = _make_step_mm(
+    step = _STEP_BUILDERS[variant](
         spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
     )
     i = pl.program_id(0)
@@ -1073,9 +1118,15 @@ def _mjhmc_mm_stream_kernel(
         )
         return dx, dw
 
+    def drop(_, c):
+        s, a = c
+        s, e = step(s)
+        return (s, _acc_update(a, *e))
+
     def emit_body(t, carry):
-        carry = jax.lax.fori_loop(0, thin - 1, lambda _, c: step(c)[0], carry)
-        carry, (x_pre, dwell) = step(carry)
+        s, a = jax.lax.fori_loop(0, thin - 1, drop, carry)
+        s, (x_pre, weight, evi) = step(s)
+        a = _acc_update(a, x_pre, weight, evi)
 
         # scratch/HBM stream rows are padded to a sublane multiple: Mosaic
         # cannot slice the slot axis of a (2, d, lb) buffer unless d is
@@ -1096,17 +1147,15 @@ def _mjhmc_mm_stream_kernel(
             dw.wait()
 
         xscr_ref[slot] = x_pre
-        wscr_ref[slot] = dwell
+        wscr_ref[slot] = weight
         dx, dw = dma_pair(slot, t)
         dx.start()
         dw.start()
-        return carry
+        return (s, a)
 
+    s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
     carry = jax.lax.fori_loop(
-        0,
-        num_emits,
-        emit_body,
-        _read_carry(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref),
+        0, num_emits, emit_body, (s0, _acc_init(s0[0], s0[3]))
     )
 
     for back in (2, 1):
@@ -1123,7 +1172,9 @@ def _mjhmc_mm_stream_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "num_emits", "thin", "num_leapfrog", "lane_block"),
+    static_argnames=(
+        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant"
+    ),
 )
 def pallas_mjhmc_mm_stream_run(
     spec: MatmulEnergySpec,
@@ -1141,6 +1192,7 @@ def pallas_mjhmc_mm_stream_run(
     num_leapfrog: int,
     lane_block: int = 1024,
     inv_mass: Array | None = None,
+    variant: str = "mjhmc",
 ):
     """Streaming matmul-engine run: ``num_emits`` thinned Rao-Blackwell
     emissions, (xs (num_emits, d, n), ws (num_emits, 1, n), PallasRunOut).
@@ -1150,7 +1202,7 @@ def pallas_mjhmc_mm_stream_run(
     assert l % _LANES == 0
     has_mass = inv_mass is not None
     k = spec.aux_rows()
-    bytes_per_lane = ((36 + 2 * has_mass) * d + 10 * k + 40) * 4  # + scratch
+    bytes_per_lane = ((38 + 2 * has_mass) * d + 10 * k + 44) * 4  # + scratch
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1184,7 +1236,7 @@ def pallas_mjhmc_mm_stream_run(
         mass_specs = [dspec()]
 
     kernel = functools.partial(
-        _mjhmc_mm_stream_kernel, spec, len(params), num_emits, thin,
+        _mjhmc_mm_stream_kernel, variant, spec, len(params), num_emits, thin,
         num_leapfrog, d_pad, has_mass,
     )
     out = pl.pallas_call(
@@ -1211,7 +1263,7 @@ def pallas_mjhmc_mm_stream_run(
             jax.ShapeDtypeStruct((1, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
-            jax.ShapeDtypeStruct((1, l), jnp.float32),
+            jax.ShapeDtypeStruct((1, l), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, lb), jnp.float32),
@@ -1236,16 +1288,17 @@ class PallasRunOut(NamedTuple):
     u: Array
     h_back: Array
     back_valid: Array
-    w: Array  # (S, L) Σ dwell per chain
+    w: Array  # (S, L) Σ weight per chain (dwell mass; step count for control)
     wx: Array  # (d, S, L)
     wx2: Array  # (d, S, L)
-    evals: Array  # (S, L) algorithmic grad evals (float32)
+    evals: Array  # (S, L) algorithmic grad evals — EXACT per-chain int32
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret", "unroll"
+        "spec", "num_steps", "num_leapfrog", "lane_block", "interpret",
+        "unroll", "variant",
     ),
 )
 def pallas_mjhmc_run(
@@ -1265,15 +1318,17 @@ def pallas_mjhmc_run(
     interpret: bool = False,
     unroll: int = 1,
     inv_mass: Array | None = None,
+    variant: str = "mjhmc",
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
     has_mass = inv_mass is not None
-    # VMEM-aware lane blocking: the kernel's live set is ~14 d-sized + ~10
-    # scalar-per-chain buffers per lane; cap the block so it fits a ~10MB
-    # budget (16MB VMEM minus headroom) — matters for large-d energies
-    # (e.g. the 50-D Gaussian), where a 2048-lane block overflows VMEM.
-    bytes_per_lane = ((14 + 2 * has_mass) * d + 10) * s * 4
+    # VMEM-aware lane blocking: the kernel's live set is ~16 d-sized + ~12
+    # scalar-per-chain buffers per lane (incl. the Kahan compensations);
+    # cap the block so it fits a ~10MB budget (16MB VMEM minus headroom) —
+    # matters for large-d energies (e.g. the 50-D Gaussian), where a
+    # 2048-lane block overflows VMEM.
+    bytes_per_lane = ((16 + 2 * has_mass) * d + 12) * s * 4
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1311,7 +1366,7 @@ def pallas_mjhmc_run(
     if num_steps % unroll:
         unroll = 1
     kernel = functools.partial(
-        _mjhmc_kernel, spec, num_steps, num_leapfrog, unroll, has_mass
+        _mjhmc_kernel, variant, spec, num_steps, num_leapfrog, unroll, has_mass
     )
     out = pl.pallas_call(
         kernel,
@@ -1333,7 +1388,7 @@ def pallas_mjhmc_run(
             jax.ShapeDtypeStruct((s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.int32),
         ),
         interpret=interpret,
     )(
@@ -1347,7 +1402,9 @@ def pallas_mjhmc_run(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "num_emits", "thin", "num_leapfrog", "lane_block"),
+    static_argnames=(
+        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant"
+    ),
 )
 def pallas_mjhmc_stream_run(
     spec: EnergySpec,
@@ -1365,6 +1422,7 @@ def pallas_mjhmc_stream_run(
     num_leapfrog: int,
     lane_block: int = 2048,
     inv_mass: Array | None = None,
+    variant: str = "mjhmc",
 ):
     """Streaming engine run: ``num_emits`` thinned Rao-Blackwell emissions.
 
@@ -1375,7 +1433,7 @@ def pallas_mjhmc_stream_run(
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
     has_mass = inv_mass is not None
-    bytes_per_lane = ((16 + 2 * has_mass) * d + 12) * s * 4  # + stream scratch
+    bytes_per_lane = ((18 + 2 * has_mass) * d + 14) * s * 4  # + stream scratch
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1407,7 +1465,8 @@ def pallas_mjhmc_stream_run(
         ]
         mass_specs = [dspec()]
     kernel = functools.partial(
-        _mjhmc_stream_kernel, spec, num_emits, thin, num_leapfrog, has_mass
+        _mjhmc_stream_kernel, variant, spec, num_emits, thin, num_leapfrog,
+        has_mass,
     )
     out = pl.pallas_call(
         kernel,
@@ -1432,7 +1491,7 @@ def pallas_mjhmc_stream_run(
             jax.ShapeDtypeStruct((s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((s, l), jnp.float32),
+            jax.ShapeDtypeStruct((s, l), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, d, s, lb), jnp.float32),
@@ -1514,6 +1573,10 @@ class PallasMJHMC:
     # the target's posterior variance diagonal. None = identity (the
     # kernels statically compile the unpreconditioned fast path).
     inv_mass: tuple | None = None
+    # "mjhmc" (jump process) or "control" (fused ControlHMC baseline, where
+    # ``beta`` is the per-step momentum-corruption fraction) — engine-class
+    # parity for the north-star ESS/s receipts
+    variant: str = "mjhmc"
 
     def __post_init__(self):
         self.spec = energy_spec_for(self.distribution)
@@ -1545,7 +1608,9 @@ class PallasMJHMC:
         self._seed_key = jax.random.key(self.seed)
         self._run_index = 0
         self._step_seed = self._next_seed()
-        self.evals_total = jnp.float32(0.0)  # algorithmic grad evals, all runs
+        # aggregate over chains/runs (f32 — fine for rates; per-chain
+        # exactness lives in PallasRunOut.evals, which is int32)
+        self.evals_total = jnp.float32(0.0)
         self.steps_total = 0
 
     def _next_seed(self) -> np.int32:
@@ -1570,12 +1635,15 @@ class PallasMJHMC:
             thin,
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
+            variant=self.variant,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
             out.x, out.v, out.grad, out.u, out.h_back, out.back_valid
         )
-        self.evals_total = self.evals_total + jnp.sum(out.evals)
+        self.evals_total = self.evals_total + jnp.sum(
+            out.evals.astype(jnp.float32)
+        )
         self.steps_total += num_emits * thin
         d = xs.shape[1]
         return (
@@ -1597,12 +1665,15 @@ class PallasMJHMC:
             num_steps,
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
+            variant=self.variant,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
             out.x, out.v, out.grad, out.u, out.h_back, out.back_valid
         )
-        self.evals_total = self.evals_total + jnp.sum(out.evals)
+        self.evals_total = self.evals_total + jnp.sum(
+            out.evals.astype(jnp.float32)
+        )
         self.steps_total += num_steps
         return out
 
@@ -1669,3 +1740,21 @@ class PallasMJHMC:
         eng.h_back = state.h_back.astype(jnp.float32).reshape(s, l)
         eng.back_valid = state.back_valid.astype(jnp.float32).reshape(s, l)
         return eng
+
+
+@dataclasses.dataclass
+class PallasControlHMC(PallasMJHMC):
+    """Fused ControlHMC engine — the engine-class baseline for the
+    north-star ESS/s receipts (same kernel plumbing as PallasMJHMC with the
+    "control" step body: partial momentum corruption, forward-only M-step
+    leapfrog, Metropolis accept, momentum flip on reject — the semantics of
+    ``samplers.hmc.hmc_step`` with flip_on_reject=True).
+
+    ``beta`` is the per-step momentum-corruption fraction (β=1 is standard
+    full-refresh HMC). ``sample``/``run`` emit post-transition positions
+    with unit weights; ``moments`` then gives plain (unweighted) chain
+    moments and ``evals`` counts exactly M per iteration per chain.
+    """
+
+    beta: float = 0.2
+    variant: str = "control"

@@ -231,3 +231,68 @@ def adaptive_malt_run(
 
     (state, da, acc), eps_trace = lax.scan(body, (state, da, acc0), keys)
     return state, da, {"moments": acc, "eps_trace": eps_trace}
+
+
+def nuts_full_warmup(
+    dist: Distribution,
+    key: Array,
+    nbatch: int,
+    eps0: float = 0.5,
+    max_depth: int = 8,
+    phase1: int = 60,
+    phase2: int = 60,
+    phase3: int = 40,
+    target_accept: float = 0.8,
+):
+    """Stan-style NUTS warmup: (1) dual-average ε with unit mass, (2)
+    continue adapting ε while accumulating per-dim variance → diagonal M⁻¹,
+    (3) re-tune ε under the metric. Returns (state, eps, inv_mass).
+
+    The same three-phase protocol as ``mjhmc_full_warmup`` built on
+    ``nuts_step`` — used by the north-star receipts so the NUTS baseline
+    runs with the mass-matrix support ``nuts_step`` already has
+    (SURVEY.md §7 hard part 4; VERDICT r2 weak #3: ε-only tuning left an
+    order of magnitude on the table for ill-conditioned targets).
+    """
+    from mjhmc_tpu.samplers.mjhmc import MomentAccumulator
+    from mjhmc_tpu.samplers.nuts import make_nuts_state, nuts_step
+
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    state = make_nuts_state(dist, k0, nbatch)
+    ndims = dist.ndims
+    ones = jnp.ones((nbatch,), jnp.float32)
+
+    def phase(state, da, keys, inv_mass, accumulate):
+        acc0 = MomentAccumulator.init(ndims, nbatch)
+
+        def body(carry, k):
+            s, d, a = carry
+            eps = jnp.exp(d.log_eps)
+            s, out = nuts_step(
+                dist, s, k, eps, max_depth=max_depth, inv_mass=inv_mass
+            )
+            d = da_update(d, jnp.mean(out.accept_stat), target=target_accept)
+            if accumulate:
+                a = a.update(out.x, ones)
+            return (s, d, a), None
+
+        (state, da, acc), _ = lax.scan(body, (state, da, acc0), keys)
+        return state, da, acc
+
+    da = da_init(eps0)
+    state, da, _ = phase(state, da, jax.random.split(k1, phase1), None, False)
+    state, da, acc = phase(state, da, jax.random.split(k2, phase2), None, True)
+    inv_mass = estimate_inv_mass(acc)
+
+    log_eps0 = da.log_eps_bar
+    da = DualAveragingState(
+        step=jnp.int32(0),
+        log_eps=log_eps0,
+        log_eps_bar=log_eps0,
+        h_bar=jnp.float32(0.0),
+        mu=jnp.log(10.0) + log_eps0,
+    )
+    state, da, _ = phase(
+        state, da, jax.random.split(k3, phase3), inv_mass, False
+    )
+    return state, da_epsilon(da, frozen=True), inv_mass

@@ -4,10 +4,16 @@ Required by the north star alongside MJHMC (SURVEY.md §2.9; arXiv:1111.4246).
 This is a from-scratch **iterative** formulation (no recursion — XLA traces
 a static program):
 
-- progressive doubling up to a static ``max_depth``; every chain always
-  integrates the full 2^max_depth − 1 leapfrog budget, with per-chain
-  ``done`` masks freezing stopped chains (fixed-budget TPU execution; the
-  *algorithmic* eval counters only count unmasked steps, SURVEY.md §4.4);
+- progressive doubling up to a static ``max_depth`` with **early exit**:
+  a ``lax.while_loop`` over doubling rounds stops as soon as every chain
+  is done, and ``lax.switch`` dispatches each round to a statically-shaped
+  subtree kernel specialized per depth (so leaf bodies carry no masked
+  work for depths they cannot reach). Within a subtree, a second while
+  loop exits once every chain has stopped. Wall-clock therefore tracks the
+  TYPICAL tree depth, not the 2^max_depth − 1 worst case, while every
+  shape stays static (TPU-legal). Per-chain ``done`` masks freeze stopped
+  chains inside a live round; the *algorithmic* eval counters only count
+  unmasked steps (SURVEY.md §4.4);
 - within-subtree U-turn checks via the binary-counter stack trick: leaf
   ``i`` is stored in slot ``m`` when ``i % 2^m == 0``; when leaf ``i``
   completes a span of size 2^m (``(i+1) % 2^m == 0``) it is checked against
@@ -95,20 +101,6 @@ def nuts_step(
     v0 = mscale * jax.random.normal(k_mom, (d, n), jnp.float32)
     h0 = total_energy(state.u, v0, inv_mass)
 
-    # tree endpoints (trajectory frame) + cached grads
-    x_minus, v_minus, g_minus = state.x, v0, state.grad
-    x_plus, v_plus, g_plus = state.x, v0, state.grad
-    # proposal (starts at the root) + caches for the next iteration
-    x_prop, u_prop, g_prop = state.x, state.u, state.grad
-    log_w_tree = jnp.zeros((n,), jnp.float32)  # log weight of root = H0-H0
-
-    done = jnp.zeros((n,), bool)
-    diverged = jnp.zeros((n,), bool)
-    depth_reached = jnp.zeros((n,), jnp.int32)
-    n_leaves = jnp.zeros((n,), jnp.int32)
-    sum_alpha = jnp.zeros((n,), jnp.float32)
-    n_alpha = jnp.zeros((n,), jnp.float32)
-
     def leapfrog1(x, v, g, eps):
         v_half = v - 0.5 * eps * g
         x_new = x + eps * vel(v_half)
@@ -116,126 +108,178 @@ def nuts_step(
         v_new = v_half - 0.5 * eps * g_new
         return x_new, v_new, u_new, g_new
 
-    for j in range(max_depth):  # static doubling loop
-        k_tree, k_dir, k_leaves = jax.random.split(k_tree, 3)
-        go_right = jax.random.bernoulli(k_dir, 0.5, (n,))
+    def make_subtree(j):
+        """Depth-j subtree kernel (static shapes specialized per depth —
+        ``lax.switch`` branch). Integrates up to 2^j leaves outward from
+        the chosen tree endpoint with in-subtree U-turn checks via the
+        binary-counter stack, exiting the leaf loop early once every chain
+        has stopped."""
 
-        # integration start: outward from the chosen endpoint, integration
-        # frame (backward → negate trajectory-frame momentum)
-        gr = go_right[None, :]
-        x_c = jnp.where(gr, x_plus, x_minus)
-        v_c = jnp.where(gr, v_plus, -v_minus)
-        g_c = jnp.where(gr, g_plus, g_minus)
+        def subtree(rc):
+            (key, x_minus, v_minus, g_minus, x_plus, v_plus, g_plus,
+             x_prop, u_prop, g_prop, log_w_tree, done, diverged,
+             depth_reached, n_leaves, sum_alpha, n_alpha) = rc
+            key, k_dir, k_leaves, k_merge = jax.random.split(key, 4)
+            go_right = jax.random.bernoulli(k_dir, 0.5, (n,))
 
-        # subtree scan state
-        stack_x = jnp.zeros((max_depth + 1, d, n), jnp.float32)
-        stack_v = jnp.zeros((max_depth + 1, d, n), jnp.float32)
-        sub_stop = jnp.zeros((n,), bool)  # turning or divergent inside subtree
-        sub_div = jnp.zeros((n,), bool)
-        log_w_sub = jnp.full((n,), -jnp.inf, jnp.float32)
-        xp_sub = x_c
-        up_sub = jnp.zeros((n,), jnp.float32)
-        gp_sub = g_c
-        sa = jnp.zeros((n,), jnp.float32)
-        na = jnp.zeros((n,), jnp.float32)
-        nl = jnp.zeros((n,), jnp.int32)
+            # integration start: outward from the chosen endpoint,
+            # integration frame (backward → negate trajectory-frame v)
+            gr = go_right[None, :]
+            x_c = jnp.where(gr, x_plus, x_minus)
+            v_c = jnp.where(gr, v_plus, -v_minus)
+            g_c = jnp.where(gr, g_plus, g_minus)
 
-        def leaf_body(i, carry):
-            (x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div, log_w_sub,
-             xp_sub, up_sub, gp_sub, sa, na, nl) = carry
-            active = (~done) & (~sub_stop)  # (n,)
-            am = active[None, :]
+            # stack rows 1..j only — deeper rows cannot be touched at this
+            # depth, so the specialized branch does not carry them
+            stack_x = jnp.zeros((j + 1, d, n), jnp.float32)
+            stack_v = jnp.zeros((j + 1, d, n), jnp.float32)
 
-            x_n, v_n, u_n, g_n = leapfrog1(x_c, v_c, g_c, eps)
-            x_c = jnp.where(am, x_n, x_c)
-            v_c = jnp.where(am, v_n, v_c)
-            g_c = jnp.where(am, g_n, g_c)
-            nl = nl + active.astype(jnp.int32)
+            def leaf_body(carry):
+                (i, x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div,
+                 log_w_sub, xp_sub, up_sub, gp_sub, sa, na, nl) = carry
+                active = (~done) & (~sub_stop)  # (n,)
+                am = active[None, :]
 
-            h = total_energy(u_n, v_c, inv_mass)
-            delta_h = h - h0
-            div_now = active & (~jnp.isfinite(h) | (delta_h > divergence_threshold))
-            sub_div = sub_div | div_now
+                x_n, v_n, u_n, g_n = leapfrog1(x_c, v_c, g_c, eps)
+                x_c = jnp.where(am, x_n, x_c)
+                v_c = jnp.where(am, v_n, v_c)
+                g_c = jnp.where(am, g_n, g_c)
+                nl = nl + active.astype(jnp.int32)
 
-            log_w_leaf = jnp.where(active & ~div_now, -delta_h, -jnp.inf)
-            log_w_new = jnp.logaddexp(log_w_sub, log_w_leaf)
-            # progressive multinomial within the subtree
-            lu = jnp.log(
-                jax.random.uniform(jax.random.fold_in(k_leaves, i), (n,))
+                h = total_energy(u_n, v_c, inv_mass)
+                delta_h = h - h0
+                div_now = active & (
+                    ~jnp.isfinite(h) | (delta_h > divergence_threshold)
+                )
+                sub_div = sub_div | div_now
+
+                log_w_leaf = jnp.where(active & ~div_now, -delta_h, -jnp.inf)
+                log_w_new = jnp.logaddexp(log_w_sub, log_w_leaf)
+                # progressive multinomial within the subtree
+                lu = jnp.log(
+                    jax.random.uniform(jax.random.fold_in(k_leaves, i), (n,))
+                )
+                take = active & (lu < (log_w_leaf - log_w_new))
+                tm = take[None, :]
+                xp_sub = jnp.where(tm, x_c, xp_sub)
+                up_sub = jnp.where(take, u_n, up_sub)
+                gp_sub = jnp.where(tm, g_c, gp_sub)
+                log_w_sub = jnp.where(active, log_w_new, log_w_sub)
+
+                sa = sa + jnp.where(
+                    active, jnp.exp(jnp.minimum(0.0, -delta_h)), 0.0
+                )
+                na = na + active.astype(jnp.float32)
+
+                # stack stores: leaf i is a span left endpoint where
+                # i % 2^m == 0 (i is traced → bitmask form)
+                for m in range(1, j + 1):
+                    store = active & (jnp.bitwise_and(i, 2**m - 1) == 0)
+                    sm = store[None, :]
+                    stack_x = stack_x.at[m].set(
+                        jnp.where(sm, x_c, stack_x[m])
+                    )
+                    stack_v = stack_v.at[m].set(
+                        jnp.where(sm, v_c, stack_v[m])
+                    )
+
+                # U-turn checks: leaf i completes spans of size 2^m when
+                # (i+1) % 2^m == 0 — compare with stored left endpoints
+                turning = jnp.zeros((n,), bool)
+                for m in range(1, j + 1):
+                    check = jnp.bitwise_and(i + 1, 2**m - 1) == 0
+                    dx = x_c - stack_x[m]
+                    t_m = (_dot(dx, vel(stack_v[m])) < 0.0) | (
+                        _dot(dx, vel(v_c)) < 0.0
+                    )
+                    turning = turning | (check & t_m)
+                sub_stop = sub_stop | div_now | (active & turning)
+
+                return (i + 1, x_c, v_c, g_c, stack_x, stack_v, sub_stop,
+                        sub_div, log_w_sub, xp_sub, up_sub, gp_sub, sa, na,
+                        nl)
+
+            def leaf_cond(carry):
+                i, sub_stop = carry[0], carry[6]
+                return (i < 2**j) & jnp.any((~done) & (~sub_stop))
+
+            z = jnp.zeros((n,), jnp.float32)
+            carry = (
+                jnp.int32(0), x_c, v_c, g_c, stack_x, stack_v,
+                jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+                jnp.full((n,), -jnp.inf, jnp.float32),
+                x_c, z, g_c, z, z, jnp.zeros((n,), jnp.int32),
             )
-            take = active & (lu < (log_w_leaf - log_w_new))
-            tm = take[None, :]
-            xp_sub = jnp.where(tm, x_c, xp_sub)
-            up_sub = jnp.where(take, u_n, up_sub)
-            gp_sub = jnp.where(tm, g_c, gp_sub)
-            log_w_sub = jnp.where(active, log_w_new, log_w_sub)
+            carry = lax.while_loop(leaf_cond, leaf_body, carry)
+            (_, x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div,
+             log_w_sub, xp_sub, up_sub, gp_sub, sa, na, nl) = carry
 
-            sa = sa + jnp.where(
-                active, jnp.exp(jnp.minimum(0.0, -delta_h)), 0.0
+            sum_alpha = sum_alpha + sa
+            n_alpha = n_alpha + na
+            n_leaves = n_leaves + nl
+            diverged = diverged | sub_div
+
+            ok = (~done) & (~sub_stop)  # subtree completed cleanly
+            okm = ok[None, :]
+
+            # biased progressive merge of the subtree proposal into the tree
+            lu = jnp.log(jax.random.uniform(k_merge, (n,)))
+            merge = ok & (lu < (log_w_sub - log_w_tree))
+            mm = merge[None, :]
+            x_prop = jnp.where(mm, xp_sub, x_prop)
+            u_prop = jnp.where(merge, up_sub, u_prop)
+            g_prop = jnp.where(mm, gp_sub, g_prop)
+            log_w_tree = jnp.where(
+                ok, jnp.logaddexp(log_w_tree, log_w_sub), log_w_tree
             )
-            na = na + active.astype(jnp.float32)
 
-            # stack stores: leaf i is a span left endpoint where i % 2^m == 0
-            for m in range(1, j + 1):
-                store = active & (i % (2**m) == 0)
-                sm = store[None, :]
-                stack_x = stack_x.at[m].set(jnp.where(sm, x_c, stack_x[m]))
-                stack_v = stack_v.at[m].set(jnp.where(sm, v_c, stack_v[m]))
+            # extend tree endpoints (back to trajectory frame)
+            x_plus = jnp.where(okm & gr, x_c, x_plus)
+            v_plus = jnp.where(okm & gr, v_c, v_plus)
+            g_plus = jnp.where(okm & gr, g_c, g_plus)
+            x_minus = jnp.where(okm & ~gr, x_c, x_minus)
+            v_minus = jnp.where(okm & ~gr, -v_c, v_minus)
+            g_minus = jnp.where(okm & ~gr, g_c, g_minus)
 
-            # U-turn checks: leaf i completes spans of size 2^m when
-            # (i+1) % 2^m == 0 — compare with stored left endpoints
-            turning = jnp.zeros((n,), bool)
-            for m in range(1, j + 1):
-                check = (i + 1) % (2**m) == 0
-                dx = x_c - stack_x[m]
-                t_m = (_dot(dx, vel(stack_v[m])) < 0.0) | (_dot(dx, vel(v_c)) < 0.0)
-                turning = turning | (check & t_m)
-            sub_stop = sub_stop | div_now | (active & turning)
+            depth_reached = jnp.where(ok, jnp.int32(j + 1), depth_reached)
 
-            return (x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div,
-                    log_w_sub, xp_sub, up_sub, gp_sub, sa, na, nl)
+            # overall U-turn between tree endpoints (trajectory frame)
+            dx = x_plus - x_minus
+            global_turn = (_dot(dx, vel(v_minus)) < 0.0) | (
+                _dot(dx, vel(v_plus)) < 0.0
+            )
+            done = done | sub_stop | (ok & global_turn)
 
-        carry = (x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div,
-                 log_w_sub, xp_sub, up_sub, gp_sub, sa, na, nl)
-        if 2**j == 1:
-            carry = leaf_body(0, carry)
-        else:
-            carry = lax.fori_loop(0, 2**j, leaf_body, carry)
-        (x_c, v_c, g_c, stack_x, stack_v, sub_stop, sub_div, log_w_sub,
-         xp_sub, up_sub, gp_sub, sa, na, nl) = carry
+            return (key, x_minus, v_minus, g_minus, x_plus, v_plus, g_plus,
+                    x_prop, u_prop, g_prop, log_w_tree, done, diverged,
+                    depth_reached, n_leaves, sum_alpha, n_alpha)
 
-        sum_alpha = sum_alpha + sa
-        n_alpha = n_alpha + na
-        n_leaves = n_leaves + nl
-        diverged = diverged | sub_div
+        return subtree
 
-        ok = (~done) & (~sub_stop)  # subtree completed cleanly
-        okm = ok[None, :]
+    branches = [make_subtree(j) for j in range(max_depth)]
 
-        # biased progressive merge of the subtree proposal into the tree
-        k_tree, k_merge = jax.random.split(k_tree)
-        lu = jnp.log(jax.random.uniform(k_merge, (n,)))
-        merge = ok & (lu < (log_w_sub - log_w_tree))
-        mm = merge[None, :]
-        x_prop = jnp.where(mm, xp_sub, x_prop)
-        u_prop = jnp.where(merge, up_sub, u_prop)
-        g_prop = jnp.where(mm, gp_sub, g_prop)
-        log_w_tree = jnp.where(ok, jnp.logaddexp(log_w_tree, log_w_sub), log_w_tree)
+    def round_body(carry):
+        jj, rc = carry
+        return jj + 1, lax.switch(jj, branches, rc)
 
-        # extend tree endpoints (integration end, back to trajectory frame)
-        x_plus = jnp.where(okm & gr, x_c, x_plus)
-        v_plus = jnp.where(okm & gr, v_c, v_plus)
-        g_plus = jnp.where(okm & gr, g_c, g_plus)
-        x_minus = jnp.where(okm & ~gr, x_c, x_minus)
-        v_minus = jnp.where(okm & ~gr, -v_c, v_minus)
-        g_minus = jnp.where(okm & ~gr, g_c, g_minus)
+    def round_cond(carry):
+        jj, rc = carry
+        done = rc[11]
+        return (jj < max_depth) & ~jnp.all(done)
 
-        depth_reached = jnp.where(ok, jnp.int32(j + 1), depth_reached)
-
-        # overall U-turn between tree endpoints (trajectory frame)
-        dx = x_plus - x_minus
-        global_turn = (_dot(dx, vel(v_minus)) < 0.0) | (_dot(dx, vel(v_plus)) < 0.0)
-        done = done | sub_stop | (ok & global_turn)
+    z = jnp.zeros((n,), jnp.float32)
+    rc0 = (
+        k_tree,
+        state.x, v0, state.grad,  # minus endpoint (trajectory frame)
+        state.x, v0, state.grad,  # plus endpoint
+        state.x, state.u, state.grad,  # proposal (root)
+        z,  # log weight of root = H0 − H0
+        jnp.zeros((n,), bool), jnp.zeros((n,), bool),
+        jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32), z, z,
+    )
+    _, rc = lax.while_loop(round_cond, round_body, (jnp.int32(0), rc0))
+    (_, _, _, _, _, _, _, x_prop, u_prop, g_prop, _, _, diverged,
+     depth_reached, n_leaves, sum_alpha, n_alpha) = rc
 
     new_state = NUTSState(
         x=x_prop,

@@ -434,3 +434,129 @@ def test_eight_schools_engine_matches_quadrature():
     assert np.abs(np.asarray(mean) - qm).max() < 0.5, mean
     ratio = np.asarray(var) / tgt
     assert np.abs(ratio - 1.0).max() < 0.2, ratio
+
+
+def test_interpret_mode_counters_exact_both_variants():
+    """CPU-runnable counter pin via TPU-interpret mode.
+
+    The interpret backend stubs ``prng_random_bits`` to zeros, which makes
+    runs deterministic (uniform ≈ 0 ⟹ MJHMC always selects L; control
+    always accepts) — exactly what's needed to pin the int32 eval plumbing:
+    control = M·steps per chain; MJHMC = M·steps + M (the single fresh
+    backward rebuild at step 0, never invalidated since R never fires).
+    Control's Σweight must equal steps exactly (unit weights)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjhmc_tpu.ops.pallas_mjhmc import energy_spec_for, pallas_mjhmc_run
+
+    dist = RoughWell(ndims=2)
+    spec = energy_spec_for(dist)
+    n, s = 1024, 8
+    l = n // s
+    x = dist.init_x(jax.random.key(0), n).reshape(2, s, l)
+    v = jax.random.normal(jax.random.key(1), x.shape, jnp.float32)
+    u, g = dist.potential_and_grad(x.reshape(2, n))
+    args = (
+        spec, x, v, g.reshape(2, s, l), u.reshape(s, l),
+        jnp.zeros((s, l)), jnp.zeros((s, l)),
+        jnp.int32(7), jnp.float32(1.0), jnp.float32(0.1), 100, 10,
+    )
+    ip = pltpu.InterpretParams()
+    out = pallas_mjhmc_run(*args, interpret=ip)
+    assert out.evals.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out.evals), 1010)
+
+    out_c = pallas_mjhmc_run(*args, interpret=ip, variant="control")
+    np.testing.assert_array_equal(np.asarray(out_c.evals), 1000)
+    np.testing.assert_array_equal(np.asarray(out_c.w), 100.0)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_control_engine_matches_xla_hmc_statistically():
+    """Fused ControlHMC engine vs samplers.hmc (same ε, β, M, different
+    PRNG streams): acceptance-driven variance and step-count weights must
+    agree within MC error, and hit the Gaussian analytic variance."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasControlHMC, PallasMJHMC
+    from mjhmc_tpu.samplers import ControlHMC
+
+    dist = Gaussian(ndims=4, log_conditioning=2.0)
+    steps = 600
+    eng = PallasControlHMC(
+        dist, epsilon=0.15, beta=0.25, num_leapfrog_steps=10,
+        nbatch=4096, seed=0,
+    )
+    eng.run(400)  # burn
+    out = eng.run(steps)
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+    np.testing.assert_array_equal(np.asarray(out.evals), steps * 10)
+    mean_p, var_p = PallasMJHMC.moments(out)
+
+    ref = ControlHMC(
+        dist, epsilon=0.15, beta=0.25, num_leapfrog_steps=10,
+        nbatch=4096, seed=1,
+    )
+    ref.burn_in(400)
+    rout = ref.sample(steps)
+    xs = np.asarray(rout["x"])
+    var_x = (xs**2).mean(axis=(0, 2)) - xs.mean(axis=(0, 2)) ** 2
+
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.12, ratio
+    tgt = np.asarray(dist.variances)
+    assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.12
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_control_engine_streaming_matches_run():
+    """Streamed control emissions (unit weights, post-transition x) match
+    the batch accumulators; evals stay exact across the streaming path."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasControlHMC, PallasMJHMC
+
+    dist = RoughWell(ndims=2)
+    eng = PallasControlHMC(
+        dist, epsilon=1.0, beta=0.3, num_leapfrog_steps=10, nbatch=2048, seed=5
+    )
+    eng.run(300)
+    xs, ws = eng.sample(500)
+    assert xs.shape == (500, 2, eng.nbatch)
+    np.testing.assert_array_equal(np.asarray(ws), 1.0)
+    var_stream = np.asarray(xs).var(axis=(0, 2))
+    out = eng.run(500)
+    np.testing.assert_array_equal(np.asarray(out.evals), 5000)
+    _, var_acc = PallasMJHMC.moments(out)
+    ratio = var_stream / np.asarray(var_acc)
+    assert abs(np.median(ratio) - 1.0) < 0.2, ratio
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_long_run_counters_exact_and_kahan_survives():
+    """CLAUDE.md exactness invariant at bench-scale step counts.
+
+    2^25 control iterations at M=1: per-chain int32 evals == 2^25 exactly,
+    and the Σweight accumulator == 2^25.0 exactly — a plain f32 running sum
+    of ones STALLS at 2^24 (16777216.0 + 1.0 == 16777216.0), so this pins
+    that the Kahan compensation survived Mosaic compilation. The MJHMC
+    variant at 2^21 steps pins the cost model's bounds and divisibility."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasControlHMC, PallasMJHMC
+
+    dist = RoughWell(ndims=2)
+    steps = 1 << 25
+    eng = PallasControlHMC(
+        dist, epsilon=1.0, beta=0.5, num_leapfrog_steps=1, nbatch=1024, seed=2
+    )
+    out = eng.run(steps)
+    np.testing.assert_array_equal(np.asarray(out.evals), steps)
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+
+    m = 10
+    steps_mj = 1 << 21
+    eng2 = PallasMJHMC(
+        dist, epsilon=1.0, beta=0.1, num_leapfrog_steps=m, nbatch=1024, seed=3
+    )
+    out2 = eng2.run(steps_mj)
+    ev = np.asarray(out2.evals, np.int64)
+    assert np.all(ev % m == 0)
+    assert np.all(ev >= m * steps_mj) and np.all(ev <= 2 * m * steps_mj)
+    # R fires ≈ β/(Γ_L+β) of iterations; rebuild share must be sane, not 0/1
+    rebuild_frac = (ev / (m * steps_mj) - 1.0).mean()
+    assert 0.005 < rebuild_frac < 0.5, rebuild_frac
