@@ -107,3 +107,58 @@ def test_adaptive_loop_has_exactly_cross_chain_reduction():
     compiled = fn.lower(st, da_init(1.0), jax.random.key(1)).compile()
     hlo = compiled.as_text()
     assert "all-reduce" in hlo
+
+
+def test_distributed_resample_exact_under_degenerate_weights():
+    """Bit-exact equality with the single-device inversion even when all
+    mass sits on one shard / one particle (the ring must run extra hops)."""
+    mesh = make_chain_mesh(8)
+    key = jax.random.key(9)
+    n = 256
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, n)).astype(np.float32)
+    )
+    patterns = {
+        "uniform": jnp.zeros((n,)),
+        "first_shard": jnp.where(jnp.arange(n) < n // 8, 0.0, -1e30),
+        "last_shard": jnp.where(jnp.arange(n) >= n - n // 8, 0.0, -1e30),
+        "one_particle": jnp.where(jnp.arange(n) == 200, 0.0, -1e30),
+    }
+    dist = jax.jit(
+        lambda k, x, lw: distributed_systematic_resample(k, x, lw, mesh)
+    )
+    for name, lw in patterns.items():
+        ref = systematic_resample(key, x, lw)
+        got = dist(key, x, lw)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref), err_msg=name
+        )
+
+
+def test_distributed_resample_moves_weights_not_states():
+    """SURVEY.md §7 hard part 5: the resample must not materialize the
+    global particle block on any device. The compiled HLO may all-gather
+    the (n,) WEIGHT vector only — every all-gather op must be n floats,
+    never the (d, n) state block — and must use collective-permute (the
+    adaptive ring) for state movement."""
+    mesh = make_chain_mesh(8)
+    d, n = 16, 512
+    x = jnp.zeros((d, n), jnp.float32)
+    lw = jnp.zeros((n,), jnp.float32)
+    fn = jax.jit(
+        lambda k, x, lw: distributed_systematic_resample(k, x, lw, mesh)
+    )
+    hlo = fn.lower(jax.random.key(0), x, lw).compile().as_text()
+    assert "collective-permute" in hlo
+    import re
+
+    for line in hlo.splitlines():
+        if "all-gather(" not in line:
+            continue
+        # every all-gather output must be exactly the weight vector size
+        shapes = re.findall(r"f32\[([\d,]+)\]", line)
+        assert shapes, line
+        numel = max(
+            int(np.prod([int(v) for v in s.split(",")])) for s in shapes
+        )
+        assert numel <= n, f"state-sized all-gather in resample HLO: {line}"
