@@ -146,9 +146,19 @@ def measure(
             wall = min(wall, time.perf_counter() - t0)
         ess = float(effective_sample_size(out["x"]))
         chains = cfg.nbatch
+        if sampler == "nuts":  # tree-depth histogram (receipt detail)
+            d = np.asarray(out["depth"]).ravel()
+            depth_hist = {
+                int(k): int(v) for k, v in zip(*np.unique(d, return_counts=True))
+            }
     else:
         raise ValueError(sampler)
 
+    extra = {}
+    if sampler == "nuts":
+        extra["depth_hist"] = depth_hist
+        if mass_diag is not None:
+            extra["mass_matrix"] = "diagonal (warmup-estimated)"
     return {
         "metric": "effective_samples_per_sec_per_chip",
         "value": ess / wall,
@@ -166,6 +176,7 @@ def measure(
             "epsilon": float(epsilon),
             "beta": float(beta),
             "num_leapfrog_steps": int(m),
+            **extra,
         },
     }
 

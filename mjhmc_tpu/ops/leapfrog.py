@@ -76,6 +76,67 @@ def leapfrog(
     return x_f, v_f, u_f, g_f
 
 
+#: BCSS minimal-error two-stage coefficient (arXiv:1912.03253 §3, after
+#: Blanes-Casas-Sanz-Serna): minimizes the O(ε²) Hamiltonian-error constant
+#: of the palindromic two-stage splitting B(bε)A(ε/2)B((1−2b)ε)A(ε/2)B(bε).
+TWO_STAGE_B = 0.1931833275037836
+
+
+def two_stage(
+    potential_and_grad: PotentialAndGrad,
+    x: Array,
+    v: Array,
+    grad: Array,
+    epsilon: Array | float,
+    num_steps: int,
+    unroll: int = 1,
+    inv_mass: Array | None = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Minimal-error two-stage splitting integrator (arXiv:1912.03253).
+
+    Same contract as :func:`leapfrog` (reversible, volume-preserving,
+    entry gradient cached) but each step performs TWO fused
+    ``potential_and_grad`` calls — the trailing kick's gradient carries to
+    the next step, so an M-step trajectory costs exactly 2M evaluations
+    (callers must charge 2M in the algorithmic counters).
+
+    Why it exists: at a matched gradient-eval budget (run it at 2ε, M/2),
+    its energy error constant is ~an order of magnitude below leapfrog's,
+    so HMC rejections nearly vanish at step sizes where leapfrog is
+    already degrading — the paper's "avoiding rejections" result. Exposed
+    through ``integrator="two_stage"`` on the XLA samplers; the fused
+    Pallas engines keep leapfrog (its 1-eval/step cost model is the
+    reference's fairness currency).
+    """
+    eps = jnp.asarray(epsilon, x.dtype)
+    b = jnp.asarray(TWO_STAGE_B, x.dtype)
+
+    def drift(x, v):
+        dx = v if inv_mass is None else inv_mass * v
+        return x + (0.5 * eps) * dx
+
+    def body(carry, _):
+        x, v, g, _u = carry
+        v1 = v - (b * eps) * g
+        x1 = drift(x, v1)
+        _, g1 = potential_and_grad(x1)
+        v2 = v1 - ((1.0 - 2.0 * b) * eps) * g1
+        x2 = drift(x1, v2)
+        u2, g2 = potential_and_grad(x2)
+        v3 = v2 - (b * eps) * g2
+        return (x2, v3, g2, u2), None
+
+    u0 = jnp.zeros(x.shape[:-2] + x.shape[-1:], x.dtype)
+    (x_f, v_f, g_f, u_f), _ = lax.scan(
+        body, (x, v, grad, u0), None, length=num_steps, unroll=unroll
+    )
+    return x_f, v_f, u_f, g_f
+
+
+#: integrator registry: name → (stepper fn, gradient evals per step)
+INTEGRATORS = {"leapfrog": (leapfrog, 1), "two_stage": (two_stage, 2)}
+
+
 def masked_leapfrog(
     potential_and_grad: PotentialAndGrad,
     x: Array,

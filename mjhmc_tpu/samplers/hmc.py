@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mjhmc_tpu.models.base import Distribution
-from mjhmc_tpu.ops.leapfrog import leapfrog, momentum_scale, total_energy
+from mjhmc_tpu.ops.leapfrog import INTEGRATORS, momentum_scale, total_energy
 from mjhmc_tpu.samplers.state import HMCState, make_hmc_state
 from mjhmc_tpu.samplers.mjhmc import MomentAccumulator
 
@@ -44,13 +44,16 @@ def hmc_step(
     unroll: int = 1,
     flip_on_reject: bool = True,
     inv_mass: Array | None = None,
+    integrator: str = "leapfrog",
 ) -> Tuple[HMCState, HMCStepOut]:
     """One control-HMC iteration across all chains.
 
     ``beta`` is the per-step momentum-corruption fraction:
     v ← √(1−β)·v + √β·ξ, ξ ~ N(0, M). β=1 is standard HMC with full
     momentum refresh each iteration. ``inv_mass``: optional (ndims, 1)
-    diagonal M⁻¹ preconditioner.
+    diagonal M⁻¹ preconditioner. ``integrator``: "leapfrog" (1 eval/step)
+    or "two_stage" (minimal-error splitting, 2 evals/step — charged
+    honestly in the counters; arXiv:1912.03253).
     """
     chain = state.chain
     x, u, g = chain.x, chain.u, chain.grad
@@ -62,8 +65,9 @@ def hmc_step(
     )
     v = jnp.sqrt(1.0 - beta) * chain.v + jnp.sqrt(beta) * xi
 
+    step_fn, evals_per_step = INTEGRATORS[integrator]
     h0 = total_energy(u, v, inv_mass)
-    x_l, v_l, u_l, g_l = leapfrog(
+    x_l, v_l, u_l, g_l = step_fn(
         dist.potential_and_grad, x, v, g, epsilon, num_leapfrog_steps, unroll,
         inv_mass=inv_mass,
     )
@@ -85,7 +89,8 @@ def hmc_step(
 
     new_state = HMCState(
         chain=chain._replace(x=x_new, v=v_new, u=u_new, grad=g_new),
-        grad_evals=state.grad_evals + jnp.int32(num_leapfrog_steps),
+        grad_evals=state.grad_evals
+        + jnp.int32(evals_per_step * num_leapfrog_steps),
         n_accept=state.n_accept + accept.astype(jnp.int32),
     )
     return new_state, HMCStepOut(x=x_new, accept=accept, accept_stat=accept_stat)
@@ -103,6 +108,7 @@ def hmc_run(
     collect: str = "samples",
     flip_on_reject: bool = True,
     inv_mass: Array | None = None,
+    integrator: str = "leapfrog",
 ) -> Tuple[HMCState, dict]:
     """Scan ``num_steps`` HMC iterations (collect: "samples" | "stats")."""
     keys = jax.random.split(key, num_steps)
@@ -113,7 +119,7 @@ def hmc_run(
         def body(carry, k):
             s, o = hmc_step(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
-                flip_on_reject, inv_mass,
+                flip_on_reject, inv_mass, integrator,
             )
             ev = jnp.mean(s.grad_evals.astype(jnp.float32))
             return s, (o.x, o.accept, o.accept_stat, ev)
@@ -131,7 +137,7 @@ def hmc_run(
             s, a = carry
             s, o = hmc_step(
                 dist, s, k, epsilon, beta, num_leapfrog_steps, unroll,
-                flip_on_reject, inv_mass,
+                flip_on_reject, inv_mass, integrator,
             )
             return (s, a.update(o.x, ones)), None
 
@@ -153,6 +159,7 @@ class ControlHMC:
     seed: int = 0
     unroll: int = 1
     flip_on_reject: bool = True
+    integrator: str = "leapfrog"  # or "two_stage" (arXiv:1912.03253)
     # diagonal mass matrix M per dim (Stan convention: M⁻¹ = target
     # covariance diagonal ⇒ pass precisions 1/variance here)
     mass_diag: tuple | None = None
@@ -186,6 +193,7 @@ class ControlHMC:
                 collect,
                 self.flip_on_reject,
                 inv_mass,
+                self.integrator,
             ),
             static_argnums=(2, 3),
         )

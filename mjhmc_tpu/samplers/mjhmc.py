@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mjhmc_tpu.models.base import Distribution
-from mjhmc_tpu.ops.leapfrog import leapfrog, momentum_scale, total_energy
+from mjhmc_tpu.ops.leapfrog import INTEGRATORS, momentum_scale, total_energy
 from mjhmc_tpu.samplers.state import MJState, make_mj_state
 
 Array = jax.Array
@@ -74,6 +74,7 @@ def mjhmc_step(
     unroll: int = 1,
     refresh_fraction: float = 1.0,
     inv_mass: Array | None = None,
+    integrator: str = "leapfrog",
 ) -> Tuple[MJState, MJStepOut]:
     """One Rao-Blackwellized jump iteration for all chains.
 
@@ -99,10 +100,11 @@ def mjhmc_step(
     # axis (never concatenated along the chain axis: the chain axis is the
     # sharded one, and concatenating it would force GSPMD to all-gather in
     # the hot loop — tests/test_collectives.py pins this)
+    step_fn, evals_per_step = INTEGRATORS[integrator]
     x2 = jnp.stack([x, x])
     v2 = jnp.stack([v, -v])
     g2 = jnp.stack([g, g])
-    x2f, v2f, u2f, g2f = leapfrog(
+    x2f, v2f, u2f, g2f = step_fn(
         dist.potential_and_grad, x2, v2, g2, epsilon, m, unroll=unroll,
         inv_mass=inv_mass,
     )
@@ -159,8 +161,9 @@ def mjhmc_step(
     h_back_new = jnp.where(is_l, h_cur, jnp.where(is_f, h_l, h_back))
     back_valid_new = ~is_r
 
-    evals = state.grad_evals + jnp.int32(m) + jnp.where(
-        state.back_valid, 0, jnp.int32(m)
+    m_cost = evals_per_step * m  # 2M for the two-stage integrator
+    evals = state.grad_evals + jnp.int32(m_cost) + jnp.where(
+        state.back_valid, 0, jnp.int32(m_cost)
     )
 
     new_state = MJState(
@@ -228,6 +231,7 @@ def mjhmc_run(
     thin: int = 1,
     refresh_fraction: float = 1.0,
     inv_mass: Array | None = None,
+    integrator: str = "leapfrog",
 ) -> Tuple[MJState, dict]:
     """Scan ``num_steps`` jump iterations.
 
@@ -243,7 +247,7 @@ def mjhmc_run(
         def body(carry, k):
             s, o = mjhmc_step(
                 dist, carry, k, epsilon, beta, num_leapfrog_steps, unroll,
-                refresh_fraction, inv_mass,
+                refresh_fraction, inv_mass, integrator,
             )
             # chain-mean cumulative eval counter after this step: the exact
             # fairness-axis trajectory (SURVEY.md §3.3) — lag→evals alignment
@@ -270,7 +274,7 @@ def mjhmc_run(
             s, a = carry
             s, o = mjhmc_step(
                 dist, s, k, epsilon, beta, num_leapfrog_steps, unroll,
-                refresh_fraction, inv_mass,
+                refresh_fraction, inv_mass, integrator,
             )
             return (s, a.update(o.x, o.dwell)), None
 
@@ -294,6 +298,7 @@ class MarkovJumpHMC:
     nbatch: int = 128
     seed: int = 0
     unroll: int = 1
+    integrator: str = "leapfrog"  # or "two_stage" (arXiv:1912.03253; 2M cost)
     # diagonal mass matrix M per dim. Stan convention: the INVERSE mass is
     # set to the target covariance diagonal, so pass mass_diag = 1/variance
     # (precision) for optimal preconditioning.
@@ -328,6 +333,7 @@ class MarkovJumpHMC:
                 self.unroll,
                 collect,
                 inv_mass=inv_mass,
+                integrator=self.integrator,
             ),
             static_argnums=(2, 3),
         )
