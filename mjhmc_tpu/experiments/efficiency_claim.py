@@ -98,24 +98,24 @@ def tuned_decay(
         nlags=search_nlags,
         seed=seed,
     )
-    # a ~30-eval GP search has real variance in WHICH point wins; confirm
-    # the top-3 distinct uncensored candidates at full scale with a fresh
-    # stream and keep the best CONFIRMED point — same protocol for every
-    # sampler, so the comparison stays fair
+    # the short search window can mis-rank whole β regimes (tiny-β points
+    # look artificially good when the window holds few refreshes — the
+    # sparse-coding battery measurably tuned into a 4x-worse basin this
+    # way), so the confirmation set is REGIME-DIVERSE: the best point of
+    # each β decade, ranked by search decay, up to 4 candidates — then the
+    # fresh-seeded full-scale confirmation arbitrates between regimes.
+    # Same protocol for every sampler, so the comparison stays fair.
     pool = [
         r
         for r in res.table
         if np.isfinite(r["decay_evals"]) and not r.get("censored", False)
     ] or res.table
     pool = sorted(pool, key=lambda r: r["decay_evals"])
-    cands, seen = [], set()
+    by_decade = {}
     for r in pool:
-        k = (round(r["epsilon"], 6), round(r["beta"], 6), r["num_leapfrog_steps"])
-        if k not in seen:
-            seen.add(k)
-            cands.append(r)
-        if len(cands) == 3:
-            break
+        dec = int(np.floor(np.log10(max(r["beta"], 1e-12))))
+        by_decade.setdefault(dec, r)  # pool is sorted: first = decade best
+    cands = sorted(by_decade.values(), key=lambda r: r["decay_evals"])[:4]
 
     best_ac, best_row = None, None
     for r in cands:
