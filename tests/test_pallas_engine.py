@@ -560,3 +560,31 @@ def test_long_run_counters_exact_and_kahan_survives():
     # R fires ≈ β/(Γ_L+β) of iterations; rebuild share must be sane, not 0/1
     rebuild_frac = (ev / (m * steps_mj) - 1.0).mean()
     assert 0.005 < rebuild_frac < 0.5, rebuild_frac
+
+
+def test_interpret_mode_counters_exact_matmul_layout():
+    """Same deterministic interpret-mode counter pin on the 2-D matmul
+    layout (product-of-t): control = M·steps; MJHMC = M·steps + M."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjhmc_tpu.ops.pallas_mjhmc import (
+        energy_spec_for,
+        pallas_mjhmc_mm_run,
+    )
+
+    dist = ProductOfT(ndims=36, nbasis=36)
+    spec = energy_spec_for(dist)
+    n = 256
+    x = dist.init_x(jax.random.key(0), n)
+    v = jax.random.normal(jax.random.key(1), x.shape, jnp.float32)
+    u, g = dist.potential_and_grad(x)
+    args = (
+        spec, x, v, g, u.reshape(1, n), jnp.zeros((1, n)), jnp.zeros((1, n)),
+        jnp.int32(7), jnp.float32(0.1), jnp.float32(0.2), 50, 5,
+    )
+    ip = pltpu.InterpretParams()
+    out_c = pallas_mjhmc_mm_run(*args, interpret=ip, variant="control")
+    np.testing.assert_array_equal(np.asarray(out_c.evals), 250)
+    np.testing.assert_array_equal(np.asarray(out_c.w), 50.0)
+    out_m = pallas_mjhmc_mm_run(*args, interpret=ip)
+    np.testing.assert_array_equal(np.asarray(out_m.evals), 255)
