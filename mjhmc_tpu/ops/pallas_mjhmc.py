@@ -267,12 +267,48 @@ class MatmulEnergySpec(EnergySpec):
     def aux_rows(self) -> int:
         raise NotImplementedError
 
+    def _dot(self, a, b, dims):
+        """MXU contraction at the spec's `precision` (see _PRECISIONS)."""
+        if self.precision == "bf16x3":
+            return _dot_bf16x3(a, b, dims)
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())),
+            precision=_PRECISIONS[self.precision],
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _dot_bf16x3(a, b, dims):
+    """f32-class dot from three bf16 MXU passes (split-float / Dekker).
+
+    Mosaic's dot lowering exposes only DEFAULT (1 bf16 pass) and HIGHEST
+    (6-pass full f32); XLA's own 3-pass Precision.HIGH is unavailable
+    in-kernel, so build it by hand: a = a_hi + a_lo with a_hi = bf16(a)
+    (8 mantissa bits), then a·b ≈ hi·hi + (hi·lo + lo·hi), dropping the
+    lo·lo term (≤ 2⁻¹⁶ relative ≈ f32 rounding at these sizes). Each term
+    is one bf16-input, f32-accumulate MXU pass → half HIGHEST's cost at
+    ~f32 accuracy. Receipt: tests/test_pallas_engine.py (codegen vs f32
+    distribution at 1e-4) + on-chip sparse-coding moment agreement.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — what the XLA
     # path's einsums use on TPU (models/*.py, preferred f32 accumulate)
     "highest": jax.lax.Precision.HIGHEST,  # 6 passes, full f32
-    # (Mosaic's dot lowering supports only these two)
+    # (Mosaic's dot lowering supports only these two natively;
+    # "bf16x3" is the hand-rolled 3-pass split above)
 }
 
 
@@ -290,13 +326,6 @@ class ProductOfTSpec(MatmulEnergySpec):
 
     def aux_rows(self) -> int:
         return self.dist.nbasis
-
-    def _dot(self, a, b, dims):
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())),
-            precision=_PRECISIONS[self.precision],
-            preferred_element_type=jnp.float32,
-        )
 
     def _y(self, x, w):  # Wᵀx: (k, lanes)
         return self._dot(w, x, ((0,), (0,)))
@@ -317,13 +346,15 @@ class ProductOfTSpec(MatmulEnergySpec):
 
 @dataclasses.dataclass(frozen=True)
 class SparseCodingSpec(MatmulEnergySpec):
-    """precision defaults to full f32: the fit term ½σ⁻²‖x−Φa‖² amplifies
-    reconstruction error by σ⁻² (=100 at the benchmark σ=0.1), and bf16
-    residuals measurably shift the dwell mass (~2.5%). Set 'default' to
-    trade that bias for ~40% more throughput."""
+    """The fit term ½σ⁻²‖x−Φa‖² amplifies reconstruction error by σ⁻²
+    (=100 at the benchmark σ=0.1): a single bf16 pass measurably shifts
+    the dwell mass (~2.5%), so 'default' is NOT safe here. The default is
+    the 3-pass split-float 'bf16x3' (f32-class residuals at half the
+    6-pass 'highest' cost); set 'highest' for bit-level f32 or 'default'
+    to accept the bias for maximum throughput."""
 
     dist: SparseCoding
-    precision: str = "highest"
+    precision: str = "bf16x3"
 
     def param_arrays(self):
         # host-side numpy only: this runs under an active jit trace, so the
@@ -341,13 +372,6 @@ class SparseCodingSpec(MatmulEnergySpec):
 
     def aux_rows(self) -> int:
         return self.dist.npixels
-
-    def _dot(self, a, b, dims):
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())),
-            precision=_PRECISIONS[self.precision],
-            preferred_element_type=jnp.float32,
-        )
 
     def _resid(self, a, phi, patch):  # patch − Φa: (p, lanes)
         return patch - self._dot(phi, a, ((1,), (0,)))
@@ -387,13 +411,6 @@ class LogregSpec(MatmulEnergySpec):
 
     def aux_rows(self) -> int:
         return self.dist.nobs
-
-    def _dot(self, a, b, dims):
-        return jax.lax.dot_general(
-            a, b, (dims, ((), ())),
-            precision=_PRECISIONS[self.precision],
-            preferred_element_type=jnp.float32,
-        )
 
     def du(self, th, xs):
         z = self._dot(xs, th, ((1,), (0,)))  # (o, lanes)
@@ -831,7 +848,8 @@ def pallas_mjhmc_mm_run(
 
     Chain state (x, v, g + trajectory endpoints) lives in VMEM for the
     whole run; Φ/W and the patch are one-time VMEM inputs; Wᵀx / Φa
-    contractions hit the MXU at f32 (HIGHEST) precision.
+    contractions hit the MXU at the spec's precision (bf16 pass for
+    product-of-t, 3-pass split-float f32-class for sparse coding).
     ``variant``: "mjhmc" (jump process) or "control" (fused ControlHMC —
     the engine-class baseline; ``beta`` is then the corruption fraction).
     """

@@ -6,6 +6,8 @@ we still cover the host-side plumbing: energy-spec codegen, layout
 reshapes, and unsupported-energy erroring.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +43,15 @@ def test_energy_spec_codegen_matches_distribution():
 
 def test_matmul_spec_codegen_matches_distribution():
     """Matmul-energy specs (2-D layout): u/du == distribution's fused pg,
-    including a custom-patch sparse coder (params built host-side)."""
+    including a custom-patch sparse coder (params built host-side).
+
+    Tolerance is precision-class aware: sparse coding's default 'bf16x3'
+    split-float dot truncates explicitly (so its real error shows even on
+    CPU, where Precision.DEFAULT computes full f32) and the σ⁻²=100 fit
+    term amplifies the ~2⁻¹⁸ split residual to ~2e-3 absolute in du —
+    bounded at 5e-3 here, with the raw split accuracy pinned separately in
+    test_bf16x3_dot_accuracy_class.
+    """
     dists = (
         ProductOfT(ndims=36, nbasis=36),
         SparseCoding(npixels=64, nbasis=128),
@@ -50,6 +60,7 @@ def test_matmul_spec_codegen_matches_distribution():
     for dist in dists:
         spec = energy_spec_for(dist)
         assert isinstance(spec, MatmulEnergySpec)
+        tol = {"bf16x3": 5e-3}.get(spec.precision, 1e-4)
         n = 128
         x = dist.init_x(jax.random.key(0), n)
         u_ref, g_ref = dist.potential_and_grad(x)
@@ -58,11 +69,42 @@ def test_matmul_spec_codegen_matches_distribution():
         g2 = spec.du(x, *params)
         assert u2.shape == (1, n)
         np.testing.assert_allclose(
-            np.asarray(u2[0]), np.asarray(u_ref), rtol=1e-4, atol=1e-4
+            np.asarray(u2[0]), np.asarray(u_ref), rtol=tol, atol=tol
         )
         np.testing.assert_allclose(
-            np.asarray(g2), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+            np.asarray(g2), np.asarray(g_ref), rtol=tol, atol=tol
         )
+        if spec.precision != "highest":
+            exact = dataclasses.replace(spec, precision="highest")
+            np.testing.assert_allclose(
+                np.asarray(exact.du(x, *params)), np.asarray(g_ref),
+                rtol=1e-4, atol=1e-4,
+            )
+
+
+def test_bf16x3_dot_accuracy_class():
+    """The 3-pass split-float dot is f32-class: ~500× tighter than one
+    bf16 pass, within ~2⁻¹⁸·√k of the full-f32 contraction."""
+    from mjhmc_tpu.ops.pallas_mjhmc import _dot_bf16x3
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128, 256)), jnp.float32)
+    ref = jax.lax.dot_general(
+        a, b, ((((1,), (0,)), ((), ()))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    got = _dot_bf16x3(a, b, ((1,), (0,)))
+    scale = float(jnp.abs(ref).max())
+    err3 = float(jnp.abs(got - ref).max()) / scale
+    bf1 = jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        ((((1,), (0,)), ((), ()))), preferred_element_type=jnp.float32,
+    )
+    err1 = float(jnp.abs(bf1 - ref).max()) / scale
+    assert err3 < 3e-5, err3        # ≈ 2⁻¹⁸·√k class
+    assert err3 < err1 / 50, (err3, err1)  # far tighter than one bf16 pass
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
