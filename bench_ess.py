@@ -99,11 +99,17 @@ def measure(
     cap = int(2_000_000_000 // (4 * dist.ndims * cfg.nbatch))
     steps = max(100, min(steps, cap))
 
-    engine_class = "pallas" if sampler in ("mjhmc", "control") else "xla"
-    if sampler in ("mjhmc", "control"):
-        from mjhmc_tpu.ops.pallas_mjhmc import PallasControlHMC, PallasMJHMC
+    engine_class = (
+        "pallas" if sampler in ("mjhmc", "control", "malt") else "xla"
+    )
+    if sampler in ("mjhmc", "control", "malt"):
+        from mjhmc_tpu.ops.pallas_mjhmc import (
+            PallasControlHMC, PallasMALT, PallasMJHMC,
+        )
 
-        cls = PallasMJHMC if sampler == "mjhmc" else PallasControlHMC
+        # for the MALT engine the beta slot carries the friction gamma
+        cls = {"mjhmc": PallasMJHMC, "control": PallasControlHMC,
+               "malt": PallasMALT}[sampler]
         eng = cls(
             dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
             nbatch=cfg.nbatch, seed=0,
@@ -185,7 +191,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="rough_well")
     ap.add_argument("--sampler", default="mjhmc",
-                    choices=["mjhmc", "control", "control-xla", "nuts"])
+                    choices=["mjhmc", "control", "malt", "control-xla",
+                             "nuts"])
     ap.add_argument("--steps", type=int, default=2000, help="streamed samples")
     ap.add_argument("--burn", type=int, default=500)
     # hyperparameter overrides — feed `python -m mjhmc_tpu search` output
@@ -197,6 +204,9 @@ def main(argv=None):
                     help="sweep all BASELINE configs x samplers")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of table configs")
+    ap.add_argument("--samplers", default="mjhmc,control,nuts",
+                    help="comma-separated samplers for --table rows "
+                         "(add 'malt' for the fused MALT engine)")
     ap.add_argument("--tune", action="store_true",
                     help="grid-tune (eps, beta, M) per pair before measuring")
     ap.add_argument("--json-out", default=None)
@@ -217,7 +227,7 @@ def main(argv=None):
             table = tuple(c for c in a.configs.split(",") if c)
         for config in table:
             cfg = BENCHMARK_CONFIGS[config]
-            for sampler in ("mjhmc", "control", "nuts"):
+            for sampler in tuple(s for s in a.samplers.split(",") if s):
                 eps = beta = m = mass = None
                 tuned = False
                 if a.tune and sampler == "nuts":

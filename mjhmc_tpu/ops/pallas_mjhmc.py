@@ -739,7 +739,78 @@ def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
     return step
 
 
-_STEP_BUILDERS = {"mjhmc": _make_step, "control": _make_step_control}
+def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m):
+    """Fused MALT iteration body (samplers/malt.py semantics, in-kernel).
+
+    Metropolis-Adjusted Langevin Trajectories (arXiv:2210.12200): full
+    momentum refresh, then M OBABO steps — O: exact OU half-step damping
+    momenta by η = exp(−γε/2) and re-noising with √(1−η²)·N(0, M); BAB:
+    one leapfrog step whose energy error (H_out − H_in, measured INSIDE
+    the O pair so the refresh drops out of the ratio) accumulates into Δ;
+    trajectory-level MH accept with p = min(1, exp(−Δ)).
+
+    The engine's traced ``beta`` scalar slot carries the friction γ here
+    (γ=0 ⇒ full-refresh HMC — pinned by the engine-agreement test). Cost
+    model is exactly M evals per iteration per chain: u and du at each
+    new position come from one fused evaluation in the jnp path's
+    cost-model contract (ops/leapfrog.py); the spec's separate
+    u_sum/du calls share their contraction and are CSE'd.
+
+    Emission: post-transition x with unit weight (no dwell weighting).
+    h_back/valid carry slots ride along untouched (shared kernel IO).
+    """
+    sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
+    eta = jnp.exp(-beta * eps * 0.5)
+    sig = jnp.sqrt(jnp.maximum(0.0, 1.0 - eta * eta))
+
+    def halfsq(v):
+        vv = v * v if inv_mass is None else v * v * inv_mass
+        return 0.5 * jnp.sum(vv, axis=0, keepdims=(v.ndim == 2))
+
+    def noise(shape):
+        n = _normal(shape)
+        return n if sqrt_m is None else n * sqrt_m
+
+    def step(carry):
+        x, v, g, u, h_back, valid = carry
+
+        vl = noise(x.shape)  # full refresh: v ~ N(0, M)
+        v0 = vl
+        xl, gl, ul = x, g, u
+        delta = jnp.zeros_like(u)
+        for _ in range(m):
+            vl = eta * vl + sig * noise(x.shape)  # O
+            h_in = ul + halfsq(vl)
+            v_h = vl - (0.5 * eps) * gl  # B
+            xl = xl + eps * (v_h if inv_mass is None else inv_mass * v_h)
+            gl = spec.du(xl, *params)  # A
+            vl = v_h - (0.5 * eps) * gl  # B
+            ul = spec.u_sum(xl, *params)
+            delta = delta + (ul + halfsq(vl) - h_in)
+            vl = eta * vl + sig * noise(x.shape)  # O
+
+        ok = (jnp.abs(delta) < 1e30) & (delta == delta)  # divergence guard
+        p = jnp.where(ok, jnp.exp(jnp.minimum(0.0, -delta)), 0.0)
+        acc = _uniform(p.shape) < p
+
+        ba = _bc(acc, x)
+        x = jnp.where(ba, xl, x)
+        v = jnp.where(ba, vl, -v0)  # cosmetic under full refresh (jnp parity)
+        u = jnp.where(acc, ul, u)
+        g = jnp.where(ba, gl, g)
+
+        evals_inc = jnp.full(p.shape, m, jnp.int32)
+        weight = jnp.ones_like(p)
+        return (x, v, g, u, h_back, valid), (x, weight, evals_inc)
+
+    return step
+
+
+_STEP_BUILDERS = {
+    "mjhmc": _make_step,
+    "control": _make_step_control,
+    "malt": _make_step_malt,
+}
 
 
 # --------------------------------------------------------------------------
@@ -1776,3 +1847,19 @@ class PallasControlHMC(PallasMJHMC):
 
     beta: float = 0.2
     variant: str = "control"
+
+
+@dataclasses.dataclass
+class PallasMALT(PallasMJHMC):
+    """Fused MALT engine (samplers/malt.py in the kernel runtime — the
+    third engine-class sampler alongside PallasMJHMC/PallasControlHMC).
+
+    ``beta`` carries the friction γ (the engine's second traced scalar
+    slot): γ=0 reduces to full-refresh HMC; larger γ forgets initial
+    momenta faster (MALT's replacement for NUTS' U-turn machinery).
+    Emissions are post-transition positions with unit weights; ``evals``
+    counts exactly M per iteration per chain.
+    """
+
+    beta: float = 1.0  # friction γ
+    variant: str = "malt"

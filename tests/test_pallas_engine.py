@@ -512,6 +512,12 @@ def test_interpret_mode_counters_exact_both_variants():
     np.testing.assert_array_equal(np.asarray(out_c.evals), 1000)
     np.testing.assert_array_equal(np.asarray(out_c.w), 100.0)
 
+    # MALT: exactly M·steps per chain (trajectory-level MH never adds
+    # rebuild cost), unit weights
+    out_m = pallas_mjhmc_run(*args, interpret=ip, variant="malt")
+    np.testing.assert_array_equal(np.asarray(out_m.evals), 1000)
+    np.testing.assert_array_equal(np.asarray(out_m.w), 100.0)
+
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
 def test_control_engine_matches_xla_hmc_statistically():
@@ -630,3 +636,51 @@ def test_interpret_mode_counters_exact_matmul_layout():
     np.testing.assert_array_equal(np.asarray(out_c.w), 50.0)
     out_m = pallas_mjhmc_mm_run(*args, interpret=ip)
     np.testing.assert_array_equal(np.asarray(out_m.evals), 255)
+    out_l = pallas_mjhmc_mm_run(*args, interpret=ip, variant="malt")
+    np.testing.assert_array_equal(np.asarray(out_l.evals), 250)
+    np.testing.assert_array_equal(np.asarray(out_l.w), 50.0)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_malt_engine_matches_xla_malt_statistically():
+    """Fused MALT engine vs samplers.malt (same ε, γ, M; independent PRNG
+    streams): Gaussian variances within MC error of each other and of the
+    analytic values; γ=0 must reproduce full-refresh ControlHMC(β=1)
+    acceptance-driven variance (MALT's defining limit)."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMALT, PallasMJHMC
+    from mjhmc_tpu.samplers.malt import MALT
+
+    dist = Gaussian(ndims=4, log_conditioning=2.0)
+    steps = 600
+    eng = PallasMALT(
+        dist, epsilon=0.15, beta=1.5, num_leapfrog_steps=10,
+        nbatch=4096, seed=0,
+    )
+    eng.run(400)  # burn
+    out = eng.run(steps)
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+    np.testing.assert_array_equal(np.asarray(out.evals), steps * 10)
+    _, var_p = PallasMJHMC.moments(out)
+
+    ref = MALT(
+        dist, epsilon=0.15, gamma=1.5, num_leapfrog_steps=10,
+        nbatch=4096, seed=1,
+    )
+    ref.burn_in(400)
+    xs = np.asarray(ref.sample(steps)["x"])
+    var_x = (xs**2).mean(axis=(0, 2)) - xs.mean(axis=(0, 2)) ** 2
+
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.12, ratio
+    tgt = np.asarray(dist.variances)
+    assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.12
+
+    # γ=0 limit: MALT == full-refresh HMC — variances must still land on
+    # the analytic target (the OU steps become identity)
+    eng0 = PallasMALT(
+        dist, epsilon=0.15, beta=0.0, num_leapfrog_steps=10,
+        nbatch=4096, seed=2,
+    )
+    eng0.run(400)
+    _, var_0 = PallasMJHMC.moments(eng0.run(steps))
+    assert abs(np.median(np.asarray(var_0) / tgt) - 1.0) < 0.12
