@@ -35,6 +35,61 @@ def cmd_sample(args):
 
     cfg = BENCHMARK_CONFIGS[args.config]
     dist = cfg.make_distribution()
+
+    if getattr(args, "engine", "xla") == "pallas":
+        # fused-engine path (TPU): stream (x, dwell) from the kernel and
+        # report the same record shape as the XLA path
+        from mjhmc_tpu.ops.pallas_mjhmc import (
+            PallasControlHMC,
+            PallasMALT,
+            PallasMJHMC,
+        )
+
+        try:
+            ecls = {
+                "mjhmc": PallasMJHMC,
+                "control": PallasControlHMC,
+                "malt": PallasMALT,
+            }[args.sampler]
+        except KeyError:
+            raise SystemExit(
+                f"--engine pallas supports mjhmc/control/malt, "
+                f"not {args.sampler!r}"
+            )
+        beta = args.gamma if args.sampler == "malt" else cfg.beta
+        eng = ecls(
+            dist,
+            epsilon=cfg.epsilon,
+            beta=beta,
+            num_leapfrog_steps=cfg.num_leapfrog_steps,
+            nbatch=args.nbatch or cfg.nbatch,
+            seed=args.seed,
+        )
+        eng.run(args.burn)
+        xs_j, ws_j = eng.sample(args.steps)
+        xs, w = np.asarray(xs_j), np.asarray(ws_j)
+        ww = w[:, None, :]
+        mean = (ww * xs).sum(axis=(0, 2)) / ww.sum()
+        var = (ww * xs**2).sum(axis=(0, 2)) / ww.sum() - mean**2
+        ess = float(effective_sample_size(xs_j, ws_j))
+        rec = {
+            "config": args.config,
+            "sampler": args.sampler,
+            "engine": "pallas",
+            "steps": args.steps,
+            "chains": int(xs.shape[2]),
+            "grad_evals": eng.grad_evals,
+            "mean": mean.tolist()[:8],
+            "var": var.tolist()[:8],
+            "ess": ess,
+            "ess_per_grad_eval": ess / max(eng.grad_evals, 1),
+        }
+        if args.save:
+            np.savez(args.save, x=xs, dwell=w)
+            rec["saved"] = args.save
+        print(json.dumps(rec))
+        return
+
     cls = {
         "mjhmc": MarkovJumpHMC,
         "control": ControlHMC,
@@ -265,6 +320,9 @@ def main(argv=None):
     sp.add_argument("--adapt-ladder", action="store_true",
                     help="tune the PT β ladder to uniform swap rates first")
     sp.add_argument("--save", default=None, help="npz path for raw samples")
+    sp.add_argument("--engine", choices=["xla", "pallas"], default="xla",
+                    help="pallas = the fused single-kernel engine (TPU; "
+                         "mjhmc/control/malt)")
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("bench")

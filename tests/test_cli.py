@@ -51,3 +51,15 @@ def test_figures_only_flag(tmp_path):
     main(["figures", "--quick", "--only", "fan", "--out", out])
     assert os.path.exists(os.path.join(out, "trajectory_fan.png"))
     assert os.path.exists(os.path.join(out, "trajectory_fan.npz"))
+
+
+def test_sample_engine_flag_validates_sampler():
+    # --engine pallas only backs the three engine-class samplers; the
+    # check fires before any kernel work (CPU-safe)
+    import pytest
+
+    with pytest.raises(SystemExit, match="pallas supports"):
+        main([
+            "sample", "--config", "gauss2d", "--sampler", "nuts",
+            "--engine", "pallas", "--steps", "10", "--nbatch", "32",
+        ])
