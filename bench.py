@@ -23,11 +23,14 @@ from mjhmc_tpu.samplers import make_mj_state
 from mjhmc_tpu.samplers.mjhmc import mjhmc_run
 
 
-def bench_pallas(cfg, steps_per_call=100_000, trials=3):
+def bench_pallas(cfg, steps_per_call=50_000, trials=3, nbatch=None):
     # steps_per_call amortizes the ~55 ms fixed per-call dispatch latency of
-    # the tunneled backend (measured: 2.6 B/s at 2k steps/call → 8.3 B/s at
-    # 100k; asymptote ≈ 8.6 B/s). Production sampling runs use long fused
-    # calls anyway — this measures the engine, not the RPC.
+    # the tunneled backend (measured: 2.6 B/s at 2k steps/call → 8.4 B/s at
+    # 50k). nbatch=102,400 rides the compute curve to its measured
+    # saturation (bench_dossier.py: 2.7 B at 1k chains → 8.25 B at 131k);
+    # 8.52 B measured at this default vs 8.2 B at the config's 10,240.
+    # Production sampling runs use long fused calls anyway — this measures
+    # the engine, not the RPC.
     from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
 
     dist = cfg.make_distribution()
@@ -36,7 +39,7 @@ def bench_pallas(cfg, steps_per_call=100_000, trials=3):
         epsilon=cfg.epsilon,
         beta=cfg.beta,
         num_leapfrog_steps=cfg.num_leapfrog_steps,
-        nbatch=cfg.nbatch,
+        nbatch=nbatch or cfg.nbatch,
         seed=0,
     )
     out = eng.run(steps_per_call)
@@ -90,7 +93,7 @@ def bench_xla(cfg, steps_per_call=1000, trials=3):
 def main():
     cfg = BENCHMARK_CONFIGS["rough_well"]
     try:
-        rate = bench_pallas(cfg)
+        rate = bench_pallas(cfg, nbatch=102_400)
     except Exception as e:  # no TPU / unsupported energy → XLA path
         print(f"# pallas engine unavailable ({type(e).__name__}), XLA path", file=sys.stderr)
         rate = bench_xla(cfg)
