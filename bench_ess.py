@@ -38,7 +38,7 @@ TABLE_CONFIGS = (
 )
 
 
-def _tune(dist, sampler, cfg, steps=600, nbatch=256):
+def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150):
     """Dense log-grid (ε, β, M) around the preset; returns best row."""
     from mjhmc_tpu.search.grid import grid_search
 
@@ -51,7 +51,7 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256):
         m_grid=(5, 10, 20),
         num_steps=steps,
         nbatch=min(nbatch, cfg.nbatch),
-        nlags=150,
+        nlags=nlags,
     )
     return res.best
 
@@ -100,19 +100,30 @@ def measure(
     steps = max(100, min(steps, cap))
 
     engine_class = (
-        "pallas" if sampler in ("mjhmc", "control", "malt") else "xla"
+        "pallas"
+        if sampler in ("mjhmc", "control", "malt", "nuts-engine")
+        else "xla"
     )
-    if sampler in ("mjhmc", "control", "malt"):
+    if engine_class == "pallas":
         from mjhmc_tpu.ops.pallas_mjhmc import (
-            PallasControlHMC, PallasMALT, PallasMJHMC,
+            PallasControlHMC, PallasMALT, PallasMJHMC, PallasNUTS,
         )
 
-        # for the MALT engine the beta slot carries the friction gamma
+        # for the MALT engine the beta slot carries the friction gamma;
+        # for the NUTS engine num_leapfrog is max_depth and beta is unused
         cls = {"mjhmc": PallasMJHMC, "control": PallasControlHMC,
-               "malt": PallasMALT}[sampler]
+               "malt": PallasMALT, "nuts-engine": PallasNUTS}[sampler]
+        kw = {}
+        if sampler == "nuts-engine":
+            m = 8  # max_depth
+            beta = 0.0
+            if mass_diag is not None:
+                kw["inv_mass"] = tuple(
+                    1.0 / np.asarray(mass_diag, np.float64)
+                )
         eng = cls(
             dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
-            nbatch=cfg.nbatch, seed=0,
+            nbatch=cfg.nbatch, seed=0, **kw,
         )
         eng.run(burn)  # burn-in + engine compile
         # warm the streaming kernel at the SAME num_emits — it is a static
@@ -191,8 +202,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="rough_well")
     ap.add_argument("--sampler", default="mjhmc",
-                    choices=["mjhmc", "control", "malt", "control-xla",
-                             "nuts"])
+                    choices=["mjhmc", "control", "malt", "nuts-engine",
+                             "control-xla", "nuts"])
     ap.add_argument("--steps", type=int, default=2000, help="streamed samples")
     ap.add_argument("--burn", type=int, default=500)
     # hyperparameter overrides — feed `python -m mjhmc_tpu search` output
@@ -230,14 +241,20 @@ def main(argv=None):
             for sampler in tuple(s for s in a.samplers.split(",") if s):
                 eps = beta = m = mass = None
                 tuned = False
-                if a.tune and sampler == "nuts":
+                if a.tune and sampler in ("nuts", "nuts-engine"):
                     # NUTS warmup: ε via dual averaging + variance metric
                     eps, mass = _tune_nuts(cfg.make_distribution(), cfg)
                     tuned = True
                 elif a.tune:
                     # grid-tune on the XLA path; the operating point
-                    # transfers to the fused engine (same algorithm)
-                    best = _tune(cfg.make_distribution(), sampler, cfg)
+                    # transfers to the fused engine (same algorithm).
+                    # Barrier-regime mixing is slow — give that config a
+                    # 4× window so slow-mixing samplers tune uncensored
+                    tk = (
+                        dict(steps=2400, nlags=600)
+                        if config == "rough_well_a3" else {}
+                    )
+                    best = _tune(cfg.make_distribution(), sampler, cfg, **tk)
                     eps, beta, m = (
                         best["epsilon"], best["beta"],
                         best["num_leapfrog_steps"],

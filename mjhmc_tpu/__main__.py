@@ -43,6 +43,7 @@ def cmd_sample(args):
             PallasControlHMC,
             PallasMALT,
             PallasMJHMC,
+            PallasNUTS,
         )
 
         try:
@@ -50,18 +51,21 @@ def cmd_sample(args):
                 "mjhmc": PallasMJHMC,
                 "control": PallasControlHMC,
                 "malt": PallasMALT,
+                "nuts": PallasNUTS,
             }[args.sampler]
         except KeyError:
             raise SystemExit(
-                f"--engine pallas supports mjhmc/control/malt, "
+                f"--engine pallas supports mjhmc/control/malt/nuts, "
                 f"not {args.sampler!r}"
             )
         beta = args.gamma if args.sampler == "malt" else cfg.beta
+        # the NUTS engine's num_leapfrog slot is max_depth, not M
+        nlf = 8 if args.sampler == "nuts" else cfg.num_leapfrog_steps
         eng = ecls(
             dist,
             epsilon=cfg.epsilon,
             beta=beta,
-            num_leapfrog_steps=cfg.num_leapfrog_steps,
+            num_leapfrog_steps=nlf,
             nbatch=args.nbatch or cfg.nbatch,
             seed=args.seed,
         )

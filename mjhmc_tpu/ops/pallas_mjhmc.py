@@ -806,11 +806,219 @@ def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m):
     return step
 
 
+def _make_step_nuts(spec: EnergySpec, params, inv_mass, eps, beta, m):
+    """Fused NUTS iteration body (samplers/nuts.py semantics, in-kernel).
+
+    The fourth engine-class sampler: the iterative masked NUTS tree
+    (progressive multinomial sampling, binary-counter U-turn stack,
+    per-doubling early exit) runs entirely inside the kernel's VMEM-resident
+    steps loop. ``m`` (the ``num_leapfrog`` slot, static) is ``max_depth``;
+    the ``beta`` scalar slot is unused. Same layout polymorphism as
+    ``_make_step``.
+
+    Mosaic constraints shape three departures from the XLA formulation
+    (``samplers/nuts.py``, whose transition law this reproduces exactly):
+
+    - the U-turn stack is a **tuple of per-row blocks** carried through the
+      leaf ``while_loop`` (``scatter``/``dynamic_slice`` on values do not
+      lower; static Python indexing + masked ``where`` does);
+    - one generic subtree body replaces the per-depth ``lax.switch``
+      specialization — rows above the live depth are masked dead work on
+      the VPU, a few extra elementwise ops per leaf;
+    - done/stop masks ride as f32 0/1 (i1 vectors in loop carries are
+      fragile under Mosaic), compared with ``> 0.5``.
+
+    Early exit matches the XLA path: the round loop stops when every chain
+    in the *lane block* is done, the leaf loop when every chain has stopped
+    inside the subtree — wall-clock tracks the block's deepest live tree.
+
+    Emission is the post-transition x with unit weight and the exact
+    per-chain leaf count as the int32 eval increment (one fused u+du per
+    leaf, the same cost model as the XLA path).
+    """
+    max_depth = m
+    div_threshold = 1000.0
+    sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
+
+    def halfsq(v):
+        vv = v * v if inv_mass is None else v * v * inv_mass
+        return 0.5 * jnp.sum(vv, axis=0, keepdims=(v.ndim == 2))
+
+    def cdot(a, b):
+        ab = a * b if inv_mass is None else a * b * inv_mass
+        return jnp.sum(ab, axis=0, keepdims=(a.ndim == 2))
+
+    def leapfrog1(x, v, g):
+        v_h = v - (0.5 * eps) * g
+        x = x + eps * (v_h if inv_mass is None else inv_mass * v_h)
+        g = spec.du(x, *params)
+        v = v_h - (0.5 * eps) * g
+        u = spec.u_sum(x, *params)
+        return x, v, u, g
+
+    def step(carry):
+        x, v, g, u, h_back, valid = carry
+        v0 = _normal(x.shape)
+        if sqrt_m is not None:
+            v0 = v0 * sqrt_m  # v ~ N(0, M)
+        h0 = u + halfsq(v0)
+        # data-dependent zeros: splat constants in while_loop carries get a
+        # replicated Mosaic layout that cannot be relaid out against the
+        # loop body's computed values across the nested whiles ("Invalid
+        # relayout: ... replicated in destination but not in source");
+        # deriving the inits from live data pins a concrete layout
+        zs = u * 0.0  # per-chain scalar zeros
+        zi = zs.astype(jnp.int32)  # per-chain int32 zeros
+        zd = x * 0.0  # state-block zeros
+
+        def round_body(rc):
+            (jj, xm, vm, gm, xp, vp, gp, x_prop, u_prop, g_prop,
+             log_w_tree, done, nl) = rc
+            go_right = _uniform(u.shape) < 0.5
+            gr = _bc(go_right, x)
+
+            # integration frame: outward from the chosen endpoint
+            # (backward -> negate the trajectory-frame minus momentum)
+            x_c = jnp.where(gr, xp, xm)
+            v_c = jnp.where(gr, vp, -vm)
+            g_c = jnp.where(gr, gp, gm)
+
+            stack_x = tuple(zd for _ in range(max_depth - 1))
+            stack_v = tuple(zd for _ in range(max_depth - 1))
+            two_j = jnp.int32(1) << jj
+
+            def leaf_body(lc):
+                (i, x_c, v_c, g_c, stack_x, stack_v, sub_stop,
+                 log_w_sub, xp_sub, up_sub, gp_sub, nl) = lc
+                active = (done < 0.5) & (sub_stop < 0.5)
+                am = _bc(active, x)
+
+                x_n, v_n, u_n, g_n = leapfrog1(x_c, v_c, g_c)
+                x_c = jnp.where(am, x_n, x_c)
+                v_c = jnp.where(am, v_n, v_c)
+                g_c = jnp.where(am, g_n, g_c)
+                nl = nl + active.astype(jnp.int32)
+
+                h = u_n + halfsq(v_c)
+                delta_h = h - h0
+                bad = (jnp.abs(h) >= 1e30) | (h != h)
+                div_now = active & (bad | (delta_h > div_threshold))
+
+                # progressive multinomial within the subtree (NEG_INF is a
+                # finite -1e30, so diverged leaves need the explicit
+                # ~div_now guard the XLA path gets from true -inf weights)
+                log_w_leaf = jnp.where(
+                    active & ~div_now, -delta_h, NEG_INF
+                )
+                log_w_new = jnp.logaddexp(log_w_sub, log_w_leaf)
+                lu = jnp.log(_uniform(u.shape))
+                take = active & (~div_now) & (lu < log_w_leaf - log_w_new)
+                tm = _bc(take, x)
+                xp_sub = jnp.where(tm, x_c, xp_sub)
+                up_sub = jnp.where(take, u_n, up_sub)
+                gp_sub = jnp.where(tm, g_c, gp_sub)
+                log_w_sub = jnp.where(active, log_w_new, log_w_sub)
+
+                # binary-counter stack: leaf i is a span left endpoint
+                # where i % 2^m == 0; completing a span ((i+1) % 2^m == 0)
+                # checks against the stored endpoint.  Rows above the live
+                # round depth are masked dead work (no lax.switch in-kernel).
+                sx, sv = list(stack_x), list(stack_v)
+                turning = zs > 1.0  # data-derived all-false
+                for mm in range(1, max_depth):
+                    store = _bc(
+                        active & (jnp.bitwise_and(i, (1 << mm) - 1) == 0), x
+                    )
+                    sx[mm - 1] = jnp.where(store, x_c, sx[mm - 1])
+                    sv[mm - 1] = jnp.where(store, v_c, sv[mm - 1])
+                    check = jnp.bitwise_and(i + 1, (1 << mm) - 1) == 0
+                    dx = x_c - sx[mm - 1]
+                    t_m = (cdot(dx, sv[mm - 1]) < 0.0) | (
+                        cdot(dx, v_c) < 0.0
+                    )
+                    turning = turning | (check & t_m)
+                sub_stop = jnp.where(
+                    div_now | (active & turning), 1.0, sub_stop
+                )
+                return (i + 1, x_c, v_c, g_c, tuple(sx), tuple(sv),
+                        sub_stop, log_w_sub, xp_sub, up_sub, gp_sub, nl)
+
+            def leaf_cond(lc):
+                i, sub_stop = lc[0], lc[6]
+                return (i < two_j) & jnp.any(
+                    (done < 0.5) & (sub_stop < 0.5)
+                )
+
+            lc = (jnp.int32(0), x_c, v_c, g_c, stack_x, stack_v,
+                  zs, zs + NEG_INF, x_c, zs, g_c, zi)
+            lc = jax.lax.while_loop(leaf_cond, leaf_body, lc)
+            (_, x_c, v_c, g_c, _, _, sub_stop, log_w_sub,
+             xp_sub, up_sub, gp_sub, nl_sub) = lc
+            nl = nl + nl_sub
+
+            ok = (done < 0.5) & (sub_stop < 0.5)  # subtree completed
+            okm = _bc(ok, x)
+
+            # biased progressive merge of the subtree into the tree
+            lu = jnp.log(_uniform(u.shape))
+            merge = ok & (lu < log_w_sub - log_w_tree)
+            mm_ = _bc(merge, x)
+            x_prop = jnp.where(mm_, xp_sub, x_prop)
+            u_prop = jnp.where(merge, up_sub, u_prop)
+            g_prop = jnp.where(mm_, gp_sub, g_prop)
+            log_w_tree = jnp.where(
+                ok, jnp.logaddexp(log_w_tree, log_w_sub), log_w_tree
+            )
+
+            # extend the tree endpoints (back to the trajectory frame)
+            xp = jnp.where(okm & gr, x_c, xp)
+            vp = jnp.where(okm & gr, v_c, vp)
+            gp = jnp.where(okm & gr, g_c, gp)
+            xm = jnp.where(okm & ~gr, x_c, xm)
+            vm = jnp.where(okm & ~gr, -v_c, vm)
+            gm = jnp.where(okm & ~gr, g_c, gm)
+
+            # overall U-turn between the tree endpoints
+            dx = xp - xm
+            global_turn = (cdot(dx, vm) < 0.0) | (cdot(dx, vp) < 0.0)
+            done = jnp.where(
+                (sub_stop > 0.5) | (ok & global_turn), 1.0, done
+            )
+            return (jj + 1, xm, vm, gm, xp, vp, gp, x_prop, u_prop,
+                    g_prop, log_w_tree, done, nl)
+
+        def round_cond(rc):
+            jj, done = rc[0], rc[11]
+            return (jj < max_depth) & jnp.any(done < 0.5)
+
+        rc = (jnp.int32(0), x, v0, g, x, v0, g, x, u, g, zs, zs, zi)
+        rc = jax.lax.while_loop(round_cond, round_body, rc)
+        (_, _, _, _, _, _, _, x_prop, u_prop, g_prop, _, _, nl) = rc
+
+        weight = jnp.ones_like(u)
+        return (x_prop, v0, g_prop, u_prop, h_back, valid), (
+            x_prop, weight, nl,
+        )
+
+    return step
+
+
 _STEP_BUILDERS = {
     "mjhmc": _make_step,
     "control": _make_step_control,
     "malt": _make_step_malt,
+    "nuts": _make_step_nuts,
 }
+
+
+def _drow_budget(variant: str, num_leapfrog: int, base: int) -> int:
+    """d-row live-set estimate for the VMEM lane-block budgets.  The NUTS
+    variant's tree state (endpoints, proposal, subtree cursor, two
+    ``max_depth−1``-row U-turn stacks) adds ~12 + 2·(max_depth−1) d-blocks
+    on top of the base variants' live set."""
+    if variant == "nuts":
+        return base + 12 + 2 * max(num_leapfrog - 1, 0)
+    return base
 
 
 # --------------------------------------------------------------------------
@@ -932,7 +1140,10 @@ def pallas_mjhmc_mm_run(
     # (d=128, k=64): ~32 d-row buffers (carry + trajectory temporaries +
     # double-buffered IO blocks for the 8 d-row ins/outs) + ~10 k-row matmul
     # temporaries + scalars; +2d for the Kahan moment compensations
-    bytes_per_lane = ((34 + 2 * has_mass) * d + 10 * k + 36) * 4
+    bytes_per_lane = (
+        (_drow_budget(variant, num_leapfrog, 34) + 2 * has_mass) * d
+        + 10 * k + 36
+    ) * 4
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1291,7 +1502,10 @@ def pallas_mjhmc_mm_stream_run(
     assert l % _LANES == 0
     has_mass = inv_mass is not None
     k = spec.aux_rows()
-    bytes_per_lane = ((38 + 2 * has_mass) * d + 10 * k + 44) * 4  # + scratch
+    bytes_per_lane = (
+        (_drow_budget(variant, num_leapfrog, 38) + 2 * has_mass) * d
+        + 10 * k + 44
+    ) * 4  # + scratch
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1417,7 +1631,9 @@ def pallas_mjhmc_run(
     # cap the block so it fits a ~10MB budget (16MB VMEM minus headroom) —
     # matters for large-d energies (e.g. the 50-D Gaussian), where a
     # 2048-lane block overflows VMEM.
-    bytes_per_lane = ((16 + 2 * has_mass) * d + 12) * s * 4
+    bytes_per_lane = (
+        (_drow_budget(variant, num_leapfrog, 16) + 2 * has_mass) * d + 12
+    ) * s * 4
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1522,7 +1738,9 @@ def pallas_mjhmc_stream_run(
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
     has_mass = inv_mass is not None
-    bytes_per_lane = ((18 + 2 * has_mass) * d + 14) * s * 4  # + stream scratch
+    bytes_per_lane = (
+        (_drow_budget(variant, num_leapfrog, 18) + 2 * has_mass) * d + 14
+    ) * s * 4  # + stream scratch
     lb_budget = max(_LANES, (10 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
     lb = max(_LANES, lb // _LANES * _LANES)
@@ -1847,6 +2065,34 @@ class PallasControlHMC(PallasMJHMC):
 
     beta: float = 0.2
     variant: str = "control"
+
+
+@dataclasses.dataclass
+class PallasNUTS(PallasMJHMC):
+    """Fused NUTS engine — the fourth engine-class sampler family.
+
+    The full iterative NUTS transition (``samplers/nuts.py``: progressive
+    multinomial tree sampling, binary-counter U-turn stack, divergence
+    guard, per-doubling early exit) runs inside the fused kernel's steps
+    loop, erasing the XLA path's per-op dispatch latency at small state
+    sizes. Field mapping onto the shared engine plumbing:
+
+    - ``num_leapfrog_steps`` is **max_depth** (static; trees this deep hold
+      2^max_depth − 1 leaves — the early exit means typical cost tracks the
+      block's realized depths, not the budget);
+    - ``beta`` is unused;
+    - ``inv_mass`` is the diagonal M⁻¹ (Stan convention: the target's
+      posterior variance diagonal — pair with
+      ``samplers.adaptation.nuts_full_warmup``).
+
+    Emissions are post-transition positions with unit weights; ``evals``
+    counts exactly one gradient per integrated leaf per chain (identical
+    cost model to the XLA path, exact int32).
+    """
+
+    beta: float = 0.0  # unused scalar slot
+    num_leapfrog_steps: int = 8  # max_depth
+    variant: str = "nuts"
 
 
 @dataclasses.dataclass

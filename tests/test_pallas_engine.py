@@ -684,3 +684,79 @@ def test_malt_engine_matches_xla_malt_statistically():
     eng0.run(400)
     _, var_0 = PallasMJHMC.moments(eng0.run(steps))
     assert abs(np.median(np.asarray(var_0) / tgt) - 1.0) < 0.12
+
+
+def test_interpret_mode_nuts_invariants():
+    """CPU-runnable NUTS-variant pin via TPU-interpret mode.
+
+    With ``prng_random_bits`` stubbed to zeros the tree build is fully
+    deterministic, so the plumbing invariants are exact: unit weights
+    (Σw per chain == steps), int32 leaf counters bounded by
+    [steps, steps·(2^max_depth − 1)], and bit-identical repeat runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjhmc_tpu.ops.pallas_mjhmc import energy_spec_for, pallas_mjhmc_run
+
+    dist = Gaussian(ndims=2, log_conditioning=1.0)
+    spec = energy_spec_for(dist)
+    n, s = 1024, 8
+    l = n // s
+    x = dist.init_x(jax.random.key(0), n)
+    u, g = dist.potential_and_grad(x)
+    steps, max_depth = 20, 5
+    args = (
+        spec, x.reshape(2, s, l), jnp.zeros((2, s, l)),
+        g.reshape(2, s, l), u.reshape(s, l),
+        jnp.zeros((s, l)), jnp.zeros((s, l)),
+        jnp.int32(7), jnp.float32(0.4), jnp.float32(0.0), steps, max_depth,
+    )
+    ip = pltpu.InterpretParams()
+    out = pallas_mjhmc_run(*args, interpret=ip, variant="nuts")
+    assert out.evals.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+    ev = np.asarray(out.evals)
+    assert ev.min() >= steps and ev.max() <= steps * (2**max_depth - 1), (
+        ev.min(), ev.max()
+    )
+    assert float(jnp.max(jnp.abs(out.x - args[1]))) > 0.0  # chains moved
+
+    out2 = pallas_mjhmc_run(*args, interpret=ip, variant="nuts")
+    np.testing.assert_array_equal(np.asarray(out2.evals), ev)
+    np.testing.assert_array_equal(np.asarray(out2.x), np.asarray(out.x))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_nuts_engine_matches_xla_nuts_statistically():
+    """Fused NUTS engine vs samplers.nuts (same ε, max_depth; independent
+    PRNG streams): Gaussian variances within MC error of each other and of
+    the analytic values; mean tree size (leaves/iteration — the exact
+    algorithmic counter both paths carry) must agree within MC error, the
+    sharpest cross-check that the in-kernel tree transition law is the
+    XLA path's."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC, PallasNUTS
+    from mjhmc_tpu.samplers import NUTS
+
+    dist = Gaussian(ndims=8, log_conditioning=2.0)
+    steps = 500
+    eng = PallasNUTS(
+        dist, epsilon=0.25, num_leapfrog_steps=8, nbatch=4096, seed=0,
+    )
+    eng.run(50)  # burn
+    out = eng.run(steps)
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+    _, var_p = PallasMJHMC.moments(out)
+    leaves_eng = float(np.asarray(out.evals).mean()) / steps
+
+    ref = NUTS(dist, epsilon=0.25, max_depth=8, nbatch=1024, seed=1)
+    ref.burn_in(50)
+    o = ref.sample(steps)
+    xs = np.asarray(o["x"])
+    var_x = (xs**2).mean(axis=(0, 2)) - xs.mean(axis=(0, 2)) ** 2
+    ev = np.asarray(o["evals_mean"])
+    leaves_xla = float(ev[-1] - ev[0]) / (steps - 1)
+
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.12, ratio
+    tgt = np.asarray(dist.variances)
+    assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.12
+    assert abs(leaves_eng / leaves_xla - 1.0) < 0.1, (leaves_eng, leaves_xla)
