@@ -2094,6 +2094,39 @@ class PallasNUTS(PallasMJHMC):
     num_leapfrog_steps: int = 8  # max_depth
     variant: str = "nuts"
 
+    @classmethod
+    def from_warmup(
+        cls,
+        dist,
+        seed: int = 0,
+        nbatch: int = 10_240,
+        max_depth: int = 8,
+        **warmup_kwargs,
+    ) -> "PallasNUTS":
+        """Stan-style NUTS warmup → fused engine.
+
+        Runs ``samplers.adaptation.nuts_full_warmup`` on the XLA path
+        (dual-averaged ε + variance-estimated diagonal M⁻¹ under live NUTS
+        trees), then hands the tuned (ε, M⁻¹) to the fused kernel. The
+        warmed-chain handoff is intentionally omitted: NUTS refreshes
+        momenta every iteration, so a short engine burn from fresh inits
+        re-equilibrates at full kernel speed.
+        """
+        from mjhmc_tpu.samplers.adaptation import nuts_full_warmup
+
+        n = ((nbatch + 1023) // 1024) * 1024
+        _, eps, inv_mass = nuts_full_warmup(
+            dist, jax.random.key(seed), min(n, 1024), **warmup_kwargs
+        )
+        return cls(
+            dist,
+            epsilon=float(eps),
+            num_leapfrog_steps=max_depth,
+            nbatch=n,
+            seed=seed,
+            inv_mass=tuple(float(v) for v in np.asarray(inv_mass).ravel()),
+        )
+
 
 @dataclasses.dataclass
 class PallasMALT(PallasMJHMC):

@@ -760,3 +760,80 @@ def test_nuts_engine_matches_xla_nuts_statistically():
     tgt = np.asarray(dist.variances)
     assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.12
     assert abs(leaves_eng / leaves_xla - 1.0) < 0.1, (leaves_eng, leaves_xla)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_nuts_engine_streaming_matches_run():
+    """Streamed NUTS emissions (unit weights, post-transition x) match the
+    batch accumulators; the leaf counters stay plausible (≥ 1 leaf/step)
+    across the streaming DMA path."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC, PallasNUTS
+
+    dist = Gaussian(ndims=4, log_conditioning=1.0)
+    eng = PallasNUTS(
+        dist, epsilon=0.5, num_leapfrog_steps=6, nbatch=2048, seed=5,
+    )
+    eng.run(100)
+    xs, ws = eng.sample(400)
+    assert xs.shape == (400, 4, eng.nbatch)
+    np.testing.assert_array_equal(np.asarray(ws), 1.0)
+    var_stream = np.asarray(xs).var(axis=(0, 2))
+    out = eng.run(400)
+    assert np.asarray(out.evals).min() >= 400
+    _, var_acc = PallasMJHMC.moments(out)
+    ratio = var_stream / np.asarray(var_acc)
+    assert abs(np.median(ratio) - 1.0) < 0.2, ratio
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_nuts_engine_matmul_layout_matches_xla():
+    """NUTS engine on the matmul layout (product-of-t: MXU contractions
+    inside every tree leaf) vs the XLA NUTS: per-dim variances within MC
+    error of each other and of the analytic covariance diagonal, and mean
+    tree size within MC error."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC, PallasNUTS
+    from mjhmc_tpu.samplers import NUTS
+
+    dist = ProductOfT(ndims=36, nbasis=36)
+    steps = 400
+    eng = PallasNUTS(
+        dist, epsilon=0.12, num_leapfrog_steps=7, nbatch=2048, seed=0,
+    )
+    eng.run(100)
+    out = eng.run(steps)
+    np.testing.assert_array_equal(np.asarray(out.w), float(steps))
+    _, var_p = PallasMJHMC.moments(out)
+    leaves_eng = float(np.asarray(out.evals).mean()) / steps
+
+    ref = NUTS(dist, epsilon=0.12, max_depth=7, nbatch=512, seed=1)
+    ref.burn_in(100)
+    o = ref.sample(steps)
+    xs = np.asarray(o["x"])
+    var_x = (xs**2).mean(axis=(0, 2)) - xs.mean(axis=(0, 2)) ** 2
+    ev = np.asarray(o["evals_mean"])
+    leaves_xla = float(ev[-1] - ev[0]) / (steps - 1)
+
+    ratio = np.asarray(var_p) / var_x
+    assert abs(np.median(ratio) - 1.0) < 0.15, ratio
+    tgt = np.asarray(dist.analytic_var())
+    assert abs(np.median(np.asarray(var_p) / tgt) - 1.0) < 0.15
+    assert abs(leaves_eng / leaves_xla - 1.0) < 0.12, (leaves_eng, leaves_xla)
+
+
+def test_nuts_from_warmup_constructs_tuned_engine():
+    """CPU-runnable: PallasNUTS.from_warmup runs the XLA NUTS warmup and
+    hands (ε, M⁻¹) to the engine fields without launching the kernel."""
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasNUTS
+
+    dist = Gaussian(ndims=2, log_conditioning=2.0)
+    eng = PallasNUTS.from_warmup(
+        dist, seed=3, nbatch=1024, max_depth=6,
+        phase1=8, phase2=8, phase3=6,
+    )
+    assert eng.variant == "nuts"
+    assert eng.num_leapfrog_steps == 6
+    assert eng.epsilon > 0.0
+    iv = np.asarray(eng.inv_mass, np.float64)
+    assert iv.shape == (2,) and (iv > 0).all()
+    # variance-estimated M⁻¹ must reflect the 10^2 conditioning spread
+    assert iv.max() / iv.min() > 3.0, iv
