@@ -54,12 +54,13 @@ def test_figures_only_flag(tmp_path):
 
 
 def test_sample_engine_flag_validates_sampler():
-    # --engine pallas only backs the three engine-class samplers; the
-    # check fires before any kernel work (CPU-safe)
+    # --engine pallas backs the four engine-class samplers
+    # (mjhmc/control/malt/nuts); others must be rejected before any
+    # kernel work (CPU-safe)
     import pytest
 
     with pytest.raises(SystemExit, match="pallas supports"):
         main([
-            "sample", "--config", "gauss2d", "--sampler", "nuts",
+            "sample", "--config", "gauss2d", "--sampler", "pt",
             "--engine", "pallas", "--steps", "10", "--nbatch", "32",
         ])
