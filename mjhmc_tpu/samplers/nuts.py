@@ -320,6 +320,71 @@ def nuts_run(
     }
 
 
+def sharded_nuts_run(
+    mesh,
+    dist: Distribution,
+    state: NUTSState,
+    key: Array,
+    num_steps: int,
+    epsilon: Array | float,
+    max_depth: int = 8,
+    inv_mass: Array | None = None,
+) -> Tuple[NUTSState, dict]:
+    """Chain-sharded NUTS over a ``('chains',)`` mesh with **per-shard
+    early exit** — the TPU-right sharding of the doubling loop.
+
+    A naively chain-sharded ``nuts_run`` is NOT collective-free: the
+    round/leaf ``while_loop`` conditions reduce ``done`` over the (sharded)
+    chain axis, so GSPMD inserts one 1-bit all-reduce per doubling round
+    per iteration. Wrapping the whole run in ``shard_map`` instead gives
+    every device its own independent while loops: zero communication
+    (pinned at the HLO level in tests/test_collectives.py), and each shard
+    exits as soon as *its own* chains are done — strictly earlier than the
+    global exit, so weak scaling is ≥ the single-device program. Per-device
+    RNG streams derive from ``fold_in(key, axis_index)``.
+
+    The returned dict carries ``evals_mean_shards`` of shape
+    (steps, n_shards) — per-shard chain-mean counters. Averaging them
+    (equal shard sizes ⇒ plain mean) is left to the caller/host so the
+    compiled program contains literally zero collectives.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(x, u, grad, grad_evals):
+        dev = jax.lax.axis_index("chains")
+        k = jax.random.fold_in(key, dev)
+        st = NUTSState(x=x, u=u, grad=grad, grad_evals=grad_evals)
+        s, outs = nuts_run(
+            dist, st, k, num_steps, epsilon, max_depth, inv_mass=inv_mass
+        )
+        # per-shard chain-mean counter as a (T, 1) column so the device
+        # axis stacks shardably (a scalar would force replication)
+        ev = outs.pop("evals_mean")[:, None]
+        return s.x, s.u, s.grad, s.grad_evals, outs, ev
+
+    dvec = P(None, "chains")
+    dsca = P("chains")
+    tvec = P(None, None, "chains")  # (T, d, n) outputs
+    tsca = P(None, "chains")  # (T, n) outputs
+    x, u, g, ge, outs, ev = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(dvec, dsca, dvec, dsca),
+        out_specs=(
+            dvec, dsca, dvec, dsca,
+            {"x": tvec, "depth": tsca, "accept_stat": tsca,
+             "diverged": tsca},
+            P(None, "chains"),
+        ),
+        # replicated-constant while-carry inits meet chain-varying body
+        # outputs inside nuts_step; vma strictness would reject that
+        # (same relaxation as sharded_pallas_mjhmc_run)
+        check_vma=False,
+    )(state.x, state.u, state.grad, state.grad_evals)
+    outs["evals_mean_shards"] = ev
+    return NUTSState(x=x, u=u, grad=g, grad_evals=ge), outs
+
+
 @dataclasses.dataclass
 class NUTS:
     """Reference-style wrapper, same shape as MarkovJumpHMC/ControlHMC."""

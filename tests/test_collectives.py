@@ -162,3 +162,39 @@ def test_distributed_resample_moves_weights_not_states():
             int(np.prod([int(v) for v in s.split(",")])) for s in shapes
         )
         assert numel <= n, f"state-sized all-gather in resample HLO: {line}"
+
+
+def test_sharded_nuts_is_collective_free_and_matches_shapes():
+    """NUTS under chain sharding: a naively sharded nuts_run reduces
+    ``done`` over the sharded chain axis in its while conditions (one
+    all-reduce per doubling round); ``sharded_nuts_run`` gives each shard
+    its own while loops instead — the compiled HLO must contain zero
+    cross-device communication, and the run must produce the full
+    (steps, ...) output block with sane per-chain counters."""
+    from mjhmc_tpu.models import Gaussian
+    from mjhmc_tpu.samplers.nuts import make_nuts_state, sharded_nuts_run
+
+    dist = Gaussian(ndims=2, log_conditioning=1.0)
+    mesh = make_chain_mesh(8)
+    n, steps, max_depth = 128, 4, 4
+    st = shard_chain_pytree(
+        make_nuts_state(dist, jax.random.key(0), n), mesh
+    )
+    fn = jax.jit(
+        lambda s, : sharded_nuts_run(
+            mesh, dist, s, jax.random.key(1), steps, 0.5, max_depth
+        )
+    )
+    compiled = fn.lower(st).compile()
+    hlo = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+               "reduce-scatter"):
+        assert op not in hlo, f"sharded NUTS contains {op}"
+
+    out_state, outs = fn(st)
+    assert outs["x"].shape == (steps, 2, n)
+    assert outs["depth"].shape == (steps, n)
+    ev = np.asarray(out_state.grad_evals)
+    assert ev.min() >= steps  # ≥ 1 leaf per iteration per chain
+    assert ev.max() <= steps * (2**max_depth - 1)
+    assert outs["evals_mean_shards"].shape == (steps, 8)
