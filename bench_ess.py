@@ -215,9 +215,12 @@ def main(argv=None):
                     help="sweep all BASELINE configs x samplers")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset of table configs")
-    ap.add_argument("--samplers", default="mjhmc,control,nuts",
-                    help="comma-separated samplers for --table rows "
-                         "(add 'malt' for the fused MALT engine)")
+    ap.add_argument("--samplers",
+                    default="mjhmc,control,malt,nuts-engine,nuts",
+                    help="comma-separated samplers for --table rows — the "
+                         "default reproduces the full RESULTS.md receipts "
+                         "table (all four engine-class families + the "
+                         "XLA-path NUTS reference column)")
     ap.add_argument("--tune", action="store_true",
                     help="grid-tune (eps, beta, M) per pair before measuring")
     ap.add_argument("--json-out", default=None)
