@@ -10,6 +10,11 @@ measures it end-to-end:
   - ``--sampler control``: the fused Pallas ControlHMC engine — the
     ENGINE-CLASS baseline (same kernel plumbing, same streaming protocol),
     so the receipts compare sampler algorithms, not runtimes;
+  - ``--sampler malt``: the fused Pallas MALT engine (the ``--beta`` slot
+    carries the friction γ);
+  - ``--sampler nuts-engine``: the fused Pallas NUTS engine
+    (``--num-leapfrog-steps`` is max_depth, default 8; tuned rows get the
+    full Stan-style warmup: dual-averaged ε + diagonal mass matrix);
   - ``--sampler control-xla|nuts``: the XLA samplers' ``sample`` path,
     same protocol with unweighted ESS (control-xla kept for reference —
     it was round 2's handicapped baseline).
@@ -18,8 +23,11 @@ Single-run mode prints ONE JSON line like bench.py (best-of-3 trials,
 host-forced timing). ``--table`` sweeps configs × samplers — with
 ``--tune`` each (config, sampler) pair first gets a dense log-grid
 (ε, β, M) search (search/grid.py; objective = grad evals to ρ=1/e) and is
-measured at its own optimum: the tuned north-star receipts
-(VERDICT round-1 item 3).
+measured at its own optimum: the tuned north-star receipts. The tuner is
+BOUNDARY-AUDITED (VERDICT r3 item 1): any axis whose optimum lands on a
+non-physical grid edge is extended and re-searched until every tuned
+coordinate is interior or sits on a physical bound; each receipt row
+carries a ``boundary`` field recording the outcome.
 """
 
 import argparse
@@ -38,22 +46,86 @@ TABLE_CONFIGS = (
 )
 
 
-def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150):
-    """Dense log-grid (ε, β, M) around the preset; returns best row."""
+# β (or MALT's γ) floor below which the dynamics are measurement-window
+# indistinguishable from the β→0 limit: at β = 2e-4 the refresh/damping
+# timescale 1/β = 5000 iterations exceeds every search window used here,
+# so pushing the grid further down cannot change the measured decay — the
+# same argument the claim battery's boundary audit made (RESULTS.md).
+_BETA_FLOOR = 2e-4
+# trajectory-length ladder for the M axis (extended on demand; the round-3
+# receipts capped M at 20 and 13/24 rows pinned there — VERDICT r3 weak #1)
+_M_LADDER = (2, 5, 10, 20, 35, 50, 70, 100, 140, 200)
+
+
+def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
+          max_rounds=3):
+    """Boundary-audited dense log-grid (ε, β, M) tune.
+
+    Runs ``search.grid.grid_search`` and, whenever the best point lands on
+    a NON-PHYSICAL grid edge (ε at either end, β at a floor above
+    ``_BETA_FLOOR``, M at the ladder top), widens that axis and re-searches
+    — up to ``max_rounds`` times. Physical bounds are never extended:
+    β = 1.0 (full refresh) and β ≤ ``_BETA_FLOOR`` (the effective β→0
+    limit). Returns ``(best_row, boundary)`` with boundary ∈
+    {"interior", "physical", "pinned:<axes>"} — "pinned" means the audit
+    ran out of rounds with an axis still on a widenable edge (reported
+    honestly, never silently).
+    """
     from mjhmc_tpu.search.grid import grid_search
 
     eps0 = cfg.epsilon
-    res = grid_search(
-        dist,
-        sampler=sampler,
-        eps_grid=tuple(np.geomspace(eps0 / 8, eps0 * 8, 7)),
-        beta_grid=tuple(np.geomspace(0.005, 1.0, 6)),
-        m_grid=(5, 10, 20),
-        num_steps=steps,
-        nbatch=min(nbatch, cfg.nbatch),
-        nlags=nlags,
+    eps_lo, eps_hi = eps0 / 8.0, eps0 * 8.0
+    beta_lo, beta_hi = 5e-3, 1.0
+    m_hi = 20
+    best = None
+    for _ in range(max_rounds):
+        m_grid = tuple(m for m in _M_LADDER if m <= m_hi)[-6:]
+        res = grid_search(
+            dist,
+            sampler=sampler,
+            eps_grid=tuple(np.geomspace(eps_lo, eps_hi, 7)),
+            beta_grid=tuple(np.geomspace(beta_lo, beta_hi, 7)),
+            m_grid=m_grid,
+            num_steps=steps,
+            nbatch=min(nbatch, cfg.nbatch),
+            nlags=nlags,
+        )
+        best = res.best
+        pinned = []
+        if np.isclose(best["epsilon"], eps_hi, rtol=1e-3):
+            pinned.append("eps_hi")
+            eps_lo, eps_hi = best["epsilon"] / 2.0, eps_hi * 4.0
+        elif np.isclose(best["epsilon"], eps_lo, rtol=1e-3):
+            pinned.append("eps_lo")
+            eps_hi, eps_lo = best["epsilon"] * 2.0, eps_lo / 4.0
+        if (
+            np.isclose(best["beta"], beta_lo, rtol=1e-3)
+            and beta_lo > _BETA_FLOOR * (1 + 1e-3)
+        ):
+            pinned.append("beta_lo")
+            beta_lo = max(_BETA_FLOOR, beta_lo / 25.0)
+        if (
+            sampler == "malt"
+            and np.isclose(best["beta"], beta_hi, rtol=1e-3)
+            and beta_hi < 50.0
+        ):
+            # MALT's β slot is the friction γ — unlike a refresh fraction
+            # it has no physical ceiling at 1; widen upward too
+            pinned.append("gamma_hi")
+            beta_lo, beta_hi = best["beta"] / 2.0, beta_hi * 8.0
+        if best["num_leapfrog_steps"] == max(m_grid) and m_hi < _M_LADDER[-1]:
+            pinned.append("m_hi")
+            m_hi = next(m for m in _M_LADDER if m > m_hi * 1.9)
+        if not pinned:
+            break
+    else:
+        if pinned:
+            return best, "pinned:" + ",".join(pinned)
+    on_physical = (
+        np.isclose(best["beta"], 1.0, rtol=1e-3)
+        or best["beta"] <= _BETA_FLOOR * (1 + 1e-3)
     )
-    return res.best
+    return best, ("physical" if on_physical else "interior")
 
 
 def _tune_nuts(dist, cfg):
@@ -91,7 +163,10 @@ def measure(
     dist = cfg.make_distribution()
     epsilon = cfg.epsilon if epsilon is None else epsilon
     beta = cfg.beta if beta is None else beta
-    m = cfg.num_leapfrog_steps if m is None else m
+    if sampler in ("nuts", "nuts-engine"):
+        m = 8 if m is None else m  # max_depth (an explicit override wins)
+    else:
+        m = cfg.num_leapfrog_steps if m is None else m
 
     # cap the streamed window so one (steps, d, nbatch) f32 block stays
     # under ~2 GB — the timed loop holds two copies live (previous + new),
@@ -115,8 +190,7 @@ def measure(
                "malt": PallasMALT, "nuts-engine": PallasNUTS}[sampler]
         kw = {}
         if sampler == "nuts-engine":
-            m = 8  # max_depth
-            beta = 0.0
+            beta = 0.0  # unused scalar slot
             if mass_diag is not None:
                 kw["inv_mass"] = tuple(
                     1.0 / np.asarray(mass_diag, np.float64)
@@ -150,7 +224,7 @@ def measure(
         else:
             s = NUTS(
                 dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=0,
-                mass_diag=mass_diag,
+                mass_diag=mass_diag, max_depth=m,
             )
         s.burn_in(burn)
         out = s.sample(steps)
@@ -244,10 +318,12 @@ def main(argv=None):
             for sampler in tuple(s for s in a.samplers.split(",") if s):
                 eps = beta = m = mass = None
                 tuned = False
+                boundary = None
                 if a.tune and sampler in ("nuts", "nuts-engine"):
                     # NUTS warmup: ε via dual averaging + variance metric
                     eps, mass = _tune_nuts(cfg.make_distribution(), cfg)
                     tuned = True
+                    boundary = "warmup-adapted"
                 elif a.tune:
                     # grid-tune on the XLA path; the operating point
                     # transfers to the fused engine (same algorithm).
@@ -257,7 +333,9 @@ def main(argv=None):
                         dict(steps=2400, nlags=600)
                         if config == "rough_well_a3" else {}
                     )
-                    best = _tune(cfg.make_distribution(), sampler, cfg, **tk)
+                    best, boundary = _tune(
+                        cfg.make_distribution(), sampler, cfg, **tk
+                    )
                     eps, beta, m = (
                         best["epsilon"], best["beta"],
                         best["num_leapfrog_steps"],
@@ -268,6 +346,8 @@ def main(argv=None):
                     mass_diag=mass,
                 )
                 rec["detail"]["tuned"] = tuned
+                if boundary is not None:
+                    rec["detail"]["boundary"] = boundary
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
         if a.json_out:

@@ -79,8 +79,12 @@ def tuned_decay(
     # unverified; the reference's Spearmint search was unclamped)
     beta_range: tuple[float, float] = (2e-4, 1.0),
     # M=1,2 matter for MJHMC: the jump process builds long trajectories by
-    # L-persistence, so fine emission granularity is a legitimate optimum
-    m_grid: Sequence[int] = (1, 2, 5, 10, 20),
+    # L-persistence, so fine emission granularity is a legitimate optimum.
+    # The top extends to 50: round 3 pinned several optima at the old M=20
+    # ceiling (gauss50d, rough_well a4, sparse coding) — an M-censored
+    # optimum is unverified (VERDICT r3 item 3, same boundary-audit
+    # discipline as the β/ε axes above)
+    m_grid: Sequence[int] = (1, 2, 5, 10, 20, 35, 50),
     n_eps: int = 8,
     n_beta: int = 9,
     seed: int = 0,
@@ -211,7 +215,7 @@ DEFAULT_TARGETS = (
             nlags=300,
             search_steps=800,
             search_nlags=200,
-            m_grid=(2, 5, 10, 20),
+            m_grid=(2, 5, 10, 20, 35, 50),
         ),
     ),
 )

@@ -109,7 +109,9 @@ def distributed_systematic_resample(
 
         # fresh arrays must be marked device-varying for the while carry
         # (their loop-updated values depend on axis_index)
-        remaining0 = lax.pvary(jnp.ones((n_local,), bool), ("chains",))
+        remaining0 = lax.pcast(
+            jnp.ones((n_local,), bool), ("chains",), to="varying"
+        )
         init = (
             jnp.int32(0), x_s, jnp.zeros_like(x_s), remaining0, jnp.int32(n)
         )

