@@ -155,6 +155,7 @@ def measure(
     m=None,
     trials: int = 3,
     mass_diag=None,
+    lane_block=None,
 ) -> dict:
     """ESS/sec/chip for one (config, sampler) at the given operating point."""
     import jax.numpy as jnp
@@ -189,6 +190,8 @@ def measure(
         cls = {"mjhmc": PallasMJHMC, "control": PallasControlHMC,
                "malt": PallasMALT, "nuts-engine": PallasNUTS}[sampler]
         kw = {}
+        if lane_block is not None:
+            kw["lane_block"] = int(lane_block)
         if sampler == "nuts-engine":
             beta = 0.0  # unused scalar slot
             if mass_diag is not None:
@@ -246,6 +249,8 @@ def measure(
         raise ValueError(sampler)
 
     extra = {}
+    if lane_block is not None:
+        extra["lane_block"] = int(lane_block)
     if sampler == "nuts":
         extra["depth_hist"] = depth_hist
         if mass_diag is not None:

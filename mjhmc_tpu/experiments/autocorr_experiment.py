@@ -124,11 +124,16 @@ def calculate_autocorrelation(
 
         eng = PallasMJHMC(dist, nbatch=nbatch, seed=seed, **sampler_kwargs)
         eng.run(burn_steps)
-        xs, ws = eng.sample(num_steps)
+        # exact axis: the kernel streams per-emission int32 cumulative eval
+        # counters alongside (x, dwell), so the engine path gets the same
+        # exact lag→evals alignment as the XLA path (round-3 VERDICT item
+        # 4 — at tuned bursty β the mean-rate mapping misaligns)
+        xs, ws, es = eng.sample(num_steps, return_evals=True)
         rho = np.asarray(weighted_autocorrelation(xs, ws, nlags=nlags))
         total = eng.grad_evals
-        evals_per_step = total / (eng.steps_total * eng.nbatch)
-        evals = np.arange(nlags) * evals_per_step
+        evals = _exact_evals_axis(
+            np.asarray(es, np.float64).mean(axis=1), nlags
+        )
         decay = _decay_time(evals, rho)
         return ACResult(
             name="mjhmc[pallas]",
@@ -165,7 +170,7 @@ def calculate_autocorrelation(
     total_evals = s.grad_evals
     if "evals_mean" in out:  # exact cumulative-counter alignment
         evals = _exact_evals_axis(np.asarray(out["evals_mean"]), nlags)
-    else:  # mean-rate fallback (engine path reports totals only)
+    else:  # mean-rate fallback (sampler reports totals only)
         evals = np.arange(nlags) * (total_evals / (num_steps * nbatch))
     decay = _decay_time(evals, rho)
     return ACResult(

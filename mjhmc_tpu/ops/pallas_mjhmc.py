@@ -258,7 +258,19 @@ class MatmulEnergySpec(EnergySpec):
 
     Specs hold the (frozen, hashable) distribution so they can serve as
     jit static args while the arrays themselves ride the input path.
+
+    ``has_pair`` specs additionally provide a FUSED forward+backward
+    trajectory evaluation for the MJHMC step (``pair_pack``/``pair_du``/
+    ``pair_u_from_y``/``pair_unpack``): both trajectory halves ride one
+    block-diagonal contraction, doubling the systolic-array depth
+    occupancy when the basis is narrow (product-of-t's 36-row operand
+    fills 36/128 of the MXU; the stacked 72-row operand fills 72/128 and
+    halves the pass count — VERDICT r3 weak #3 / the MFU dossier's
+    worst-engine lift).
     """
+
+    #: spec supports the stacked forward+backward pair evaluation
+    has_pair: bool = False
 
     def param_arrays(self) -> list:
         raise NotImplementedError
@@ -316,13 +328,36 @@ _PRECISIONS = {
 class ProductOfTSpec(MatmulEnergySpec):
     """precision='default' matches the XLA path's TPU einsum precision
     (one bf16 pass, f32 accumulate); measured statistically equivalent
-    (dwell/evals/moments within MC error) and ~35% faster than 'highest'."""
+    (dwell/evals/moments within MC error) and ~35% faster than 'highest'.
+
+    ``has_pair``: the MJHMC forward+backward trajectory halves share W, so
+    the pair path stacks them into one block-diagonal contraction — the
+    (36×36) operand that fills 36/128 of the systolic array becomes a
+    sublane-padded (80×80) one at 72/128 live rows, halving MXU pass
+    count per leapfrog step (each pass streams the same lane count
+    regardless of operand depth ≤ 128)."""
 
     dist: ProductOfT
     precision: str = "default"
+    has_pair: bool = True
+
+    def _pads(self):
+        d, k = self.dist.ndims, self.dist.nbasis
+        return d, k, d + (-d) % _SUBLANES, k + (-k) % _SUBLANES
 
     def param_arrays(self):
-        return [np.asarray(self.dist._basis, np.float32)]  # W: (d, k)
+        w = np.asarray(self.dist._basis, np.float32)  # W: (d, k)
+        d, k, d8, k8 = self._pads()
+        # block-diagonal stacked operands for the fwd+bwd pair path,
+        # sublane-padded so the half boundaries are 8-aligned (Mosaic
+        # slices on the second-minor axis must start on a sublane)
+        a1 = np.zeros((2 * d8, 2 * k8), np.float32)  # [Wᵀ ⊕ Wᵀ] operand
+        a1[:d, :k] = w
+        a1[d8 : d8 + d, k8 : k8 + k] = w
+        a2 = np.zeros((2 * k8, 2 * d8), np.float32)  # [W ⊕ W] operand
+        a2[:k, :d] = w.T
+        a2[k8 : k8 + k, d8 : d8 + d] = w.T
+        return [w, a1, a2]
 
     def aux_rows(self) -> int:
         return self.dist.nbasis
@@ -330,18 +365,50 @@ class ProductOfTSpec(MatmulEnergySpec):
     def _y(self, x, w):  # Wᵀx: (k, lanes)
         return self._dot(w, x, ((0,), (0,)))
 
-    def du(self, x, w):
+    def du(self, x, w, *_aux):
         nu = self.dist.nu
         y = self._y(x, w)
         dudy = (nu + 1.0) * y / (nu + y * y)
         return self._dot(w, dudy, ((1,), (0,)))
 
-    def u_sum(self, x, w):
+    def u_sum(self, x, w, *_aux):
         nu = self.dist.nu
         y = self._y(x, w)
         return 0.5 * (nu + 1.0) * jnp.sum(
             jnp.log1p(y * y * (1.0 / nu)), axis=0, keepdims=True
         )
+
+    # ---- stacked forward+backward pair path ----
+    def pair_pack(self, a, b):
+        """Stack two (d, L) blocks into (2·d8, L): rows [0, d) = a,
+        [d8, d8+d) = b, pad rows zero (and kept zero by construction —
+        the block-diagonal operands never write them)."""
+        d, _, d8, _ = self._pads()
+        if d8 == d:
+            return jnp.concatenate([a, b], axis=0)
+        z = jnp.zeros((d8 - d,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, z, b, z], axis=0)
+
+    def pair_unpack(self, X):
+        d, _, d8, _ = self._pads()
+        return X[:d], X[d8 : d8 + d]
+
+    def pair_du(self, X, w, a1, a2):
+        """One stacked gradient pass: returns (G, Y) with G = [gf ⊕ gb]
+        and Y = [yf ⊕ yb] (reused by ``pair_u_from_y``)."""
+        nu = self.dist.nu
+        y = self._dot(a1, X, ((0,), (0,)))  # (2·k8, L)
+        dudy = (nu + 1.0) * y / (nu + y * y)  # pad rows: 0 → stays 0
+        return self._dot(a2, dudy, ((0,), (0,))), y
+
+    def pair_u_from_y(self, Y):
+        nu = self.dist.nu
+        t = (0.5 * (nu + 1.0)) * jnp.log1p(Y * Y * (1.0 / nu))
+        _, _, _, k8 = self._pads()
+        idx = jax.lax.broadcasted_iota(jnp.int32, Y.shape, 0)
+        uf = jnp.sum(jnp.where(idx < k8, t, 0.0), axis=0, keepdims=True)
+        ub = jnp.sum(jnp.where(idx >= k8, t, 0.0), axis=0, keepdims=True)
+        return uf, ub
 
 
 @dataclasses.dataclass(frozen=True)
@@ -609,9 +676,32 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
     """
     # loop-invariant: traced once at closure build, outside the steps-loop
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
+    use_pair = getattr(spec, "has_pair", False)
 
     def leapfrog_pair(x, vf, gf, vb, gb):
-        """M steps forward from (x, vf) and backward from (x, vb=-v)."""
+        """M steps forward from (x, vf) and backward from (x, vb=-v).
+
+        Returns (xf, vf, gf, xb, vb, gb, uf, ub) — the endpoint potentials
+        ride along so pair-capable specs can reuse the final contraction.
+        """
+        if use_pair:
+            # both halves in ONE block-diagonal MXU contraction per step
+            X = spec.pair_pack(x, x)
+            V = spec.pair_pack(vf, vb)
+            G = spec.pair_pack(gf, gb)
+            IM = None if inv_mass is None else spec.pair_pack(
+                inv_mass, inv_mass
+            )
+            for _ in range(m):
+                Vh = V - (0.5 * eps) * G
+                X = X + eps * (Vh if IM is None else IM * Vh)
+                G, Y = spec.pair_du(X, *params)
+                V = Vh - (0.5 * eps) * G
+            uf, ub = spec.pair_u_from_y(Y)
+            xf, xb = spec.pair_unpack(X)
+            vf, vb = spec.pair_unpack(V)
+            gf, gb = spec.pair_unpack(G)
+            return xf, vf, gf, xb, vb, gb, uf, ub
         xf, xb = x, x
         for _ in range(m):
             vf_h = vf - (0.5 * eps) * gf
@@ -623,7 +713,9 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
             xb = xb + eps * (vb_h if inv_mass is None else inv_mass * vb_h)
             gb = spec.du(xb, *params)
             vb = vb_h - (0.5 * eps) * gb
-        return xf, vf, gf, xb, vb, gb
+        uf = spec.u_sum(xf, *params)
+        ub = spec.u_sum(xb, *params)
+        return xf, vf, gf, xb, vb, gb, uf, ub
 
     def halfsq(v):
         vv = v * v if inv_mass is None else v * v * inv_mass
@@ -634,10 +726,9 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
         x, v, g, u, h_back, valid = carry
         h_cur = u + halfsq(v)
 
-        xf, vf, gf, xb, vb, gb = leapfrog_pair(x, v, g, -v, g)
-        uf = spec.u_sum(xf, *params)
+        xf, vf, gf, xb, vb, gb, uf, ub = leapfrog_pair(x, v, g, -v, g)
         h_l = uf + halfsq(vf)
-        h_b_fresh = spec.u_sum(xb, *params) + halfsq(vb)
+        h_b_fresh = ub + halfsq(vb)
         h_b = jnp.where(valid > 0.5, h_back, h_b_fresh)
 
         def log_rate(h_to):
@@ -1139,10 +1230,12 @@ def pallas_mjhmc_mm_run(
     # live set per lane, calibrated against Mosaic's scoped-vmem report for
     # (d=128, k=64): ~32 d-row buffers (carry + trajectory temporaries +
     # double-buffered IO blocks for the 8 d-row ins/outs) + ~10 k-row matmul
-    # temporaries + scalars; +2d for the Kahan moment compensations
+    # temporaries + scalars; +2d for the Kahan moment compensations; pair
+    # specs (mjhmc variant) add the stacked 2·d8/2·k8 trajectory buffers
+    pair = getattr(spec, "has_pair", False) and variant == "mjhmc"
     bytes_per_lane = (
         (_drow_budget(variant, num_leapfrog, 34) + 2 * has_mass) * d
-        + 10 * k + 36
+        + 10 * k + 36 + (8 * d + 4 * k) * pair
     ) * 4
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
@@ -1287,9 +1380,15 @@ def _mjhmc_stream_kernel(
     *refs,
 ):
     """Streaming variant: every ``thin``-th iteration's Rao-Blackwell
-    emission (pre-transition x, dwell) is double-buffered through VMEM
-    scratch and DMA'd to HBM while the sampler keeps running — the fused
-    engine's equivalent of ``collect="samples"``.
+    emission (pre-transition x, dwell, cumulative eval counter) is
+    double-buffered through VMEM scratch and DMA'd to HBM while the
+    sampler keeps running — the fused engine's equivalent of
+    ``collect="samples"``. The third channel streams the exact per-chain
+    int32 cumulative eval counter after the emitted iteration, so the
+    host can build the exact lag→grad-evals fairness axis
+    (``_exact_evals_axis``) from engine output — at MJHMC's tuned
+    β ≈ 2e-4 the counter is maximally bursty (rare 2M rebuilds), exactly
+    where a mean-rate axis misaligns (SURVEY.md §3.3).
     """
     seed_ref, eps_ref, beta_ref, params_ref = refs[:4]
     j = 4
@@ -1298,9 +1397,9 @@ def _mjhmc_stream_kernel(
         inv_mass = refs[j][:]
         j += 1
     (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[j : j + 6]
-    xs_ref, ws_ref = refs[j + 6 : j + 8]  # HBM (ANY)
-    outs = refs[j + 8 : j + 18]
-    xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
+    xs_ref, ws_ref, es_ref = refs[j + 6 : j + 9]  # HBM (ANY)
+    outs = refs[j + 9 : j + 19]
+    xscr_ref, wscr_ref, escr_ref, sem_x, sem_w, sem_e = refs[j + 19 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
@@ -1310,7 +1409,7 @@ def _mjhmc_stream_kernel(
     lb = xscr_ref.shape[-1]
     lane0 = pl.multiple_of(i * lb, 128)
 
-    def dma_pair(slot, t):
+    def dma_trio(slot, t):
         dx = pltpu.make_async_copy(
             xscr_ref.at[slot],
             xs_ref.at[t, :, :, pl.ds(lane0, lb)],
@@ -1321,7 +1420,12 @@ def _mjhmc_stream_kernel(
             ws_ref.at[t, :, pl.ds(lane0, lb)],
             sem_w.at[slot],
         )
-        return dx, dw
+        de = pltpu.make_async_copy(
+            escr_ref.at[slot],
+            es_ref.at[t, :, pl.ds(lane0, lb)],
+            sem_e.at[slot],
+        )
+        return dx, dw, de
 
     def drop(_, c):
         s, a = c
@@ -1339,15 +1443,14 @@ def _mjhmc_stream_kernel(
         # reclaim the slot used two emissions ago
         @pl.when(t >= 2)
         def _():
-            dx, dw = dma_pair(slot, t - 2)
-            dx.wait()
-            dw.wait()
+            for d in dma_trio(slot, t - 2):
+                d.wait()
 
         xscr_ref[slot] = x_pre
         wscr_ref[slot] = weight
-        dx, dw = dma_pair(slot, t)
-        dx.start()
-        dw.start()
+        escr_ref[slot] = a[6]  # cumulative int32 evals after this emission
+        for d in dma_trio(slot, t):
+            d.start()
         return (s, a)
 
     s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
@@ -1361,9 +1464,8 @@ def _mjhmc_stream_kernel(
         @pl.when(num_emits >= back)
         def _(back=back):
             t = num_emits - back
-            dx, dw = dma_pair(jax.lax.rem(t, 2), t)
-            dx.wait()
-            dw.wait()
+            for d in dma_trio(jax.lax.rem(t, 2), t):
+                d.wait()
 
     _write_outs(carry, *outs)
 
@@ -1380,10 +1482,10 @@ def _mjhmc_mm_stream_kernel(
     *refs,
 ):
     """Streaming variant of ``_mjhmc_mm_kernel``: every ``thin``-th
-    iteration's Rao-Blackwell emission (pre-transition x, dwell) is
-    double-buffered through VMEM scratch and DMA'd to HBM while the
-    sampler keeps running — same protocol as ``_mjhmc_stream_kernel``
-    on the 2-D matmul layout.
+    iteration's Rao-Blackwell emission (pre-transition x, dwell,
+    cumulative eval counter) is double-buffered through VMEM scratch and
+    DMA'd to HBM while the sampler keeps running — same protocol as
+    ``_mjhmc_stream_kernel`` on the 2-D matmul layout.
     """
     seed_ref, eps_ref, beta_ref = refs[:3]
     params = tuple(r[:] for r in refs[3 : 3 + n_params])
@@ -1393,9 +1495,9 @@ def _mjhmc_mm_stream_kernel(
         inv_mass = refs[j][:]
         j += 1
     (x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref) = refs[j : j + 6]
-    xs_ref, ws_ref = refs[j + 6 : j + 8]  # HBM (ANY)
-    outs = refs[j + 8 : j + 18]
-    xscr_ref, wscr_ref, sem_x, sem_w = refs[j + 18 :]
+    xs_ref, ws_ref, es_ref = refs[j + 6 : j + 9]  # HBM (ANY)
+    outs = refs[j + 9 : j + 19]
+    xscr_ref, wscr_ref, escr_ref, sem_x, sem_w, sem_e = refs[j + 19 :]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
@@ -1405,7 +1507,7 @@ def _mjhmc_mm_stream_kernel(
     lb = xscr_ref.shape[-1]
     lane0 = pl.multiple_of(i * lb, 128)
 
-    def dma_pair(slot, t):
+    def dma_trio(slot, t):
         dx = pltpu.make_async_copy(
             xscr_ref.at[slot],
             xs_ref.at[t, :, pl.ds(lane0, lb)],
@@ -1416,7 +1518,12 @@ def _mjhmc_mm_stream_kernel(
             ws_ref.at[t, :, pl.ds(lane0, lb)],
             sem_w.at[slot],
         )
-        return dx, dw
+        de = pltpu.make_async_copy(
+            escr_ref.at[slot],
+            es_ref.at[t, :, pl.ds(lane0, lb)],
+            sem_e.at[slot],
+        )
+        return dx, dw, de
 
     def drop(_, c):
         s, a = c
@@ -1442,15 +1549,14 @@ def _mjhmc_mm_stream_kernel(
 
         @pl.when(t >= 2)
         def _():
-            dx, dw = dma_pair(slot, t - 2)
-            dx.wait()
-            dw.wait()
+            for dd in dma_trio(slot, t - 2):
+                dd.wait()
 
         xscr_ref[slot] = x_pre
         wscr_ref[slot] = weight
-        dx, dw = dma_pair(slot, t)
-        dx.start()
-        dw.start()
+        escr_ref[slot] = a[6]  # cumulative int32 evals after this emission
+        for dd in dma_trio(slot, t):
+            dd.start()
         return (s, a)
 
     s0 = _read_state(x_ref, v_ref, g_ref, u_ref, hback_ref, valid_ref)
@@ -1463,9 +1569,8 @@ def _mjhmc_mm_stream_kernel(
         @pl.when(num_emits >= back)
         def _(back=back):
             t = num_emits - back
-            dx, dw = dma_pair(jax.lax.rem(t, 2), t)
-            dx.wait()
-            dw.wait()
+            for dd in dma_trio(jax.lax.rem(t, 2), t):
+                dd.wait()
 
     _write_outs(carry, *outs)
 
@@ -1473,7 +1578,8 @@ def _mjhmc_mm_stream_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant"
+        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant",
+        "interpret",
     ),
 )
 def pallas_mjhmc_mm_stream_run(
@@ -1493,18 +1599,21 @@ def pallas_mjhmc_mm_stream_run(
     lane_block: int = 1024,
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
+    interpret=False,
 ):
     """Streaming matmul-engine run: ``num_emits`` thinned Rao-Blackwell
-    emissions, (xs (num_emits, d, n), ws (num_emits, 1, n), PallasRunOut).
+    emissions — (xs (num_emits, d, n), ws (num_emits, 1, n),
+    es (num_emits, 1, n) exact int32 cumulative evals, PallasRunOut).
     """
     d, l = x.shape
     d_pad = -(-d // _SUBLANES) * _SUBLANES  # streamed rows, sublane-aligned
     assert l % _LANES == 0
     has_mass = inv_mass is not None
     k = spec.aux_rows()
+    pair = getattr(spec, "has_pair", False) and variant == "mjhmc"
     bytes_per_lane = (
         (_drow_budget(variant, num_leapfrog, 38) + 2 * has_mass) * d
-        + 10 * k + 44
+        + 10 * k + 44 + (8 * d + 4 * k) * pair
     ) * 4  # + scratch
     lb_budget = max(_LANES, (14 * 1024 * 1024 // bytes_per_lane) // _LANES * _LANES)
     lb = min(lane_block, lb_budget, l)
@@ -1550,13 +1659,14 @@ def pallas_mjhmc_mm_stream_run(
         + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
-            anyspec, anyspec,
+            anyspec, anyspec, anyspec,
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
             sspec(), dspec(), dspec(), sspec(),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_emits, d_pad, l), jnp.float32),
             jax.ShapeDtypeStruct((num_emits, 1, l), jnp.float32),
+            jax.ShapeDtypeStruct((num_emits, 1, l), jnp.int32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
             jax.ShapeDtypeStruct((d, l), jnp.float32),
@@ -1571,17 +1681,20 @@ def pallas_mjhmc_mm_stream_run(
         scratch_shapes=[
             pltpu.VMEM((2, d_pad, lb), jnp.float32),
             pltpu.VMEM((2, 1, lb), jnp.float32),
+            pltpu.VMEM((2, 1, lb), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
         *params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
-    xs, ws = out[0][:, :d, :], out[1]  # strip sublane padding rows
-    return xs, ws, PallasRunOut(*out[2:])
+    xs, ws, es = out[0][:, :d, :], out[1], out[2]  # strip padding rows
+    return xs, ws, es, PallasRunOut(*out[3:])
 
 
 class PallasRunOut(NamedTuple):
@@ -1708,7 +1821,8 @@ def pallas_mjhmc_run(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant"
+        "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant",
+        "interpret",
     ),
 )
 def pallas_mjhmc_stream_run(
@@ -1728,12 +1842,14 @@ def pallas_mjhmc_stream_run(
     lane_block: int = 2048,
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
+    interpret=False,
 ):
     """Streaming engine run: ``num_emits`` thinned Rao-Blackwell emissions.
 
-    Returns (xs, ws, PallasRunOut): xs (num_emits, d, 8, L) pre-transition
-    positions, ws (num_emits, 8, L) dwell weights — produced by in-kernel
-    double-buffered DMA to HBM at full engine speed.
+    Returns (xs, ws, es, PallasRunOut): xs (num_emits, d, 8, L)
+    pre-transition positions, ws (num_emits, 8, L) dwell weights,
+    es (num_emits, 8, L) exact int32 cumulative eval counters — produced
+    by in-kernel double-buffered DMA to HBM at full engine speed.
     """
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
@@ -1782,13 +1898,14 @@ def pallas_mjhmc_stream_run(
         + mass_specs
         + [dspec(), dspec(), dspec(), sspec(), sspec(), sspec()],
         out_specs=(
-            anyspec, anyspec,
+            anyspec, anyspec, anyspec,
             dspec(), dspec(), dspec(), sspec(), sspec(), sspec(),
             sspec(), dspec(), dspec(), sspec(),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_emits, d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((num_emits, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((num_emits, s, l), jnp.int32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
@@ -1803,17 +1920,20 @@ def pallas_mjhmc_stream_run(
         scratch_shapes=[
             pltpu.VMEM((2, d, s, lb), jnp.float32),
             pltpu.VMEM((2, s, lb), jnp.float32),
+            pltpu.VMEM((2, s, lb), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(epsilon, jnp.float32).reshape(1),
         jnp.asarray(beta, jnp.float32).reshape(1),
         params, *mass_ins, x, v, g, u, h_back, back_valid,
     )
-    xs, ws = out[0], out[1]
-    return xs, ws, PallasRunOut(*out[2:])
+    xs, ws, es = out[0], out[1], out[2]
+    return xs, ws, es, PallasRunOut(*out[3:])
 
 
 def sharded_pallas_mjhmc_run(mesh, *run_args, **run_kwargs):
@@ -1884,6 +2004,12 @@ class PallasMJHMC:
     # ``beta`` is the per-step momentum-corruption fraction) — engine-class
     # parity for the north-star ESS/s receipts
     variant: str = "mjhmc"
+    # kernel lane-block override (None = the wrappers' VMEM-budgeted
+    # default). Smaller blocks shrink the group a NUTS early exit must
+    # wait on (the deepest live tree stalls its whole block) at the cost
+    # of more grid steps — exposed for the lane-block stall study
+    # (VERDICT r3 weak #5 / DESIGN §5b').
+    lane_block: int | None = None
 
     def __post_init__(self):
         self.spec = energy_spec_for(self.distribution)
@@ -1926,13 +2052,19 @@ class PallasMJHMC:
         raw = np.asarray(jax.random.key_data(k)).ravel()[-1]
         return np.int32(int(raw) & 0x7FFFFFFF)
 
-    def sample(self, num_emits: int, thin: int = 1):
+    def sample(self, num_emits: int, thin: int = 1, return_evals: bool = False):
         """Streaming run: returns (xs, dwell) shaped (num_emits, d, nbatch)
-        / (num_emits, nbatch) — the fused-engine ``collect='samples'``."""
+        / (num_emits, nbatch) — the fused-engine ``collect='samples'``.
+
+        ``return_evals=True`` appends the exact per-emission int32
+        cumulative eval counters (num_emits, nbatch) — the engine-side
+        input to the exact lag→grad-evals fairness axis
+        (``experiments.autocorr_experiment._exact_evals_axis``)."""
         stream_fn = (
             pallas_mjhmc_mm_stream_run if self._matmul else pallas_mjhmc_stream_run
         )
-        xs, ws, out = stream_fn(
+        kw = {} if self.lane_block is None else {"lane_block": self.lane_block}
+        xs, ws, es, out = stream_fn(
             self.spec,
             self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
             jnp.int32(self._step_seed),
@@ -1943,6 +2075,7 @@ class PallasMJHMC:
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
             variant=self.variant,
+            **kw,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (
@@ -1953,16 +2086,20 @@ class PallasMJHMC:
         )
         self.steps_total += num_emits * thin
         d = xs.shape[1]
-        return (
+        ret = (
             xs.reshape(num_emits, d, self.nbatch),
             ws.reshape(num_emits, self.nbatch),
         )
+        if return_evals:
+            ret = ret + (es.reshape(num_emits, self.nbatch),)
+        return ret
 
     def _advance_seed(self):
         self._step_seed = self._next_seed()
 
     def run(self, num_steps: int) -> PallasRunOut:
         run_fn = pallas_mjhmc_mm_run if self._matmul else pallas_mjhmc_run
+        kw = {} if self.lane_block is None else {"lane_block": self.lane_block}
         out = run_fn(
             self.spec,
             self.x, self.v, self.g, self.u, self.h_back, self.back_valid,
@@ -1973,6 +2110,7 @@ class PallasMJHMC:
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
             variant=self.variant,
+            **kw,
         )
         self._advance_seed()
         (self.x, self.v, self.g, self.u, self.h_back, self.back_valid) = (

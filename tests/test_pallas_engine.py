@@ -837,3 +837,93 @@ def test_nuts_from_warmup_constructs_tuned_engine():
     assert iv.shape == (2,) and (iv > 0).all()
     # variance-estimated M⁻¹ must reflect the 10^2 conditioning spread
     assert iv.max() / iv.min() > 3.0, iv
+
+
+def test_interpret_mode_streamed_eval_counters_exact():
+    """CPU pin of the streamed third channel (VERDICT r3 item 4): the
+    per-emission cumulative int32 eval counters must be exact. Interpret
+    mode is deterministic (zero PRNG bits ⟹ MJHMC always selects L, one
+    fresh backward rebuild at step 0): with thin=1 the counter after
+    emission t is M·(t+1) + M for MJHMC and M·(t+1) for control — and the
+    final emission must equal the batch accumulator."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjhmc_tpu.ops.pallas_mjhmc import (
+        energy_spec_for,
+        pallas_mjhmc_stream_run,
+    )
+
+    dist = RoughWell(ndims=2)
+    spec = energy_spec_for(dist)
+    n, s = 1024, 8
+    l = n // s
+    x = dist.init_x(jax.random.key(0), n).reshape(2, s, l)
+    v = jax.random.normal(jax.random.key(1), x.shape, jnp.float32)
+    u, g = dist.potential_and_grad(x.reshape(2, n))
+    args = (
+        spec, x, v, g.reshape(2, s, l), u.reshape(s, l),
+        jnp.zeros((s, l)), jnp.zeros((s, l)),
+        jnp.int32(7), jnp.float32(1.0), jnp.float32(0.1), 20, 1, 10,
+    )
+    ip = pltpu.InterpretParams()
+    m = 10
+    xs, ws, es, out = pallas_mjhmc_stream_run(*args, interpret=ip)
+    assert es.dtype == jnp.int32 and es.shape == (20, s, l)
+    expect = np.broadcast_to(
+        (np.arange(1, 21) * m + m)[:, None, None], (20, s, l)
+    )
+    np.testing.assert_array_equal(np.asarray(es), expect)
+    np.testing.assert_array_equal(np.asarray(es[-1]), np.asarray(out.evals))
+
+    _, _, es_c, out_c = pallas_mjhmc_stream_run(
+        *args, interpret=ip, variant="control"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(es_c),
+        np.broadcast_to((np.arange(1, 21) * m)[:, None, None], (20, s, l)),
+    )
+    np.testing.assert_array_equal(np.asarray(es_c[-1]), np.asarray(out_c.evals))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel requires TPU")
+def test_engine_exact_evals_axis_matches_xla_at_bursty_beta():
+    """The engine autocorrelation path must use the same EXACT cumulative
+    counter axis as the XLA path (VERDICT r3 item 4) — pinned at a small
+    (bursty) β where rare 2M cache rebuilds make the mean-rate mapping the
+    round-3 code used misalign. Receipts: per-emission counter increments
+    are multiples of M with both M and 2M present, and the engine decay
+    agrees with the XLA path's exact-axis decay within MC error."""
+    from mjhmc_tpu.experiments.autocorr_experiment import (
+        calculate_autocorrelation,
+    )
+    from mjhmc_tpu.ops.pallas_mjhmc import PallasMJHMC
+
+    dist = RoughWell(ndims=2)
+    m = 10
+    # ε in the tuned ballistic band (the claim battery's rough-well optima
+    # sit at 4-10); β=0.02 is the burstiest point whose curve still decays
+    # inside the window on this target (≈2% of iterations pay the 2M
+    # rebuild — the mechanism under test; at β ≤ 2e-3 the chain itself is
+    # too persistent to decay in any reasonable window, on BOTH paths)
+    kw = dict(epsilon=4.0, beta=0.02, num_leapfrog_steps=m)
+
+    eng = PallasMJHMC(dist, nbatch=2048, seed=11, **kw)
+    eng.run(300)
+    _, _, es = eng.sample(400, return_evals=True)
+    inc = np.diff(np.asarray(es, np.int64), axis=0)
+    assert (inc % m == 0).all() and inc.min() >= m and inc.max() <= 2 * m
+    assert (inc == 2 * m).any()  # rebuilds do appear in the stream
+
+    ac_eng = calculate_autocorrelation(
+        dist, "mjhmc", num_steps=2500, nbatch=2048, nlags=500,
+        seed=0, engine="pallas", **kw,
+    )
+    ac_xla = calculate_autocorrelation(
+        dist, "mjhmc", num_steps=2500, nbatch=2048, nlags=500,
+        seed=1, engine="xla", **kw,
+    )
+    assert not ac_eng.censored and not ac_xla.censored
+    # same axis construction, independent streams: decays agree within MC
+    assert abs(ac_eng.decay_evals / ac_xla.decay_evals - 1.0) < 0.3, (
+        ac_eng.decay_evals, ac_xla.decay_evals,
+    )

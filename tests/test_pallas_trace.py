@@ -66,7 +66,7 @@ def test_elementwise_run_traces(with_mass, dist_cls):
 def test_elementwise_stream_traces(with_mass, dist_cls):
     spec, args, d = _elementwise_args(dist_cls())
     inv_mass = jnp.ones((d,), jnp.float32) if with_mass else None
-    xs, ws, out = jax.eval_shape(
+    xs, ws, es, out = jax.eval_shape(
         lambda *a: pallas_mjhmc_stream_run(
             spec, *a, num_emits=4, thin=2, num_leapfrog=3, inv_mass=inv_mass
         ),
@@ -74,6 +74,7 @@ def test_elementwise_stream_traces(with_mass, dist_cls):
     )
     assert xs.shape == (4,) + args[0].shape
     assert ws.shape == (4,) + args[3].shape
+    assert es.shape == (4,) + args[3].shape and es.dtype == jnp.int32
     assert out.x.shape == args[0].shape
 
 
@@ -94,11 +95,12 @@ def test_matmul_run_traces(with_mass):
 def test_matmul_stream_traces(with_mass):
     spec, args, d = _matmul_args()
     inv_mass = jnp.ones((d,), jnp.float32) if with_mass else None
-    xs, ws, out = jax.eval_shape(
+    xs, ws, es, out = jax.eval_shape(
         lambda *a: pallas_mjhmc_mm_stream_run(
             spec, *a, num_emits=4, thin=2, num_leapfrog=3, inv_mass=inv_mass
         ),
         *args,
     )
     assert xs.shape == (4, d, args[0].shape[1])
+    assert es.shape == (4, 1, args[0].shape[1]) and es.dtype == jnp.int32
     assert out.x.shape == args[0].shape
