@@ -49,6 +49,21 @@ def _timed(fn, *args, reps=3):
     return best
 
 
+def _timed_two_point(make_run, iters_lo, iters_hi, reps=3):
+    """Fixed-overhead-free rate: time at two iteration counts and diff.
+
+    The axon tunnel adds a ~52 ms fixed dispatch cost per device call
+    (RESULTS.md infrastructure note) — a single-point measurement of a
+    sub-second kernel measures the tunnel, not the chip. Returns seconds
+    per iteration from (t_hi − t_lo)/(iters_hi − iters_lo); both runs are
+    the SAME kernel shape, so compile/dispatch cancel exactly."""
+    run_lo = make_run(iters_lo)
+    run_hi = make_run(iters_hi)
+    t_lo = _timed(run_lo, reps=reps)
+    t_hi = _timed(run_hi, reps=reps)
+    return (t_hi - t_lo) / (iters_hi - iters_lo)
+
+
 def _force(out):
     import jax
 
@@ -59,35 +74,50 @@ def _force(out):
 # --------------------------------------------------------------------------
 # measured ceilings
 # --------------------------------------------------------------------------
-def measure_mxu_ceiling(depth=128, lanes=512, iters=2000):
+def measure_mxu_ceiling(depth=128, lanes=512, iters_lo=200_000, iters_hi=1_000_000):
     """Chained dot: b <- dot(W, b)·c — loop-carried so nothing hoists.
 
     FLOPs = 2·depth·depth·lanes per iteration (one bf16 MXU pass at
     DEFAULT precision, f32 accumulate — the product-of-t engine's class).
+    Two-point timing cancels the ~52 ms tunnel dispatch cost.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(w_ref, b_ref, o_ref):
-        w = w_ref[:]
-        c = jnp.float32(1.0 / depth)  # keeps the chain O(1), no overflow
+    ilp = 4  # independent chains per loop iteration: a SINGLE serial dot
+    # chain is pipeline-latency-bound (measured ~4× low at depth 36); the
+    # engines issue independent fwd/bwd dots, so the ceiling must too
 
-        def body(_, b):
-            return (
-                jax.lax.dot_general(
-                    w, b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+    def make_run(iters):
+        def kernel(w_ref, b_ref, o_ref):
+            w = w_ref[:]
+            c = jnp.float32(1.0 / depth)  # keeps the chain O(1), no overflow
+
+            def one(b):
+                return (
+                    jax.lax.dot_general(
+                        w, b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * c
                 )
-                * c
+
+            def body(_, bs):
+                return tuple(one(b) for b in bs)
+
+            b0 = b_ref[:]
+            bs = jax.lax.fori_loop(
+                0, iters, body,
+                tuple(b0 + jnp.float32(i) for i in range(ilp)),
             )
+            acc = bs[0]
+            for b in bs[1:]:
+                acc = acc + b
+            o_ref[:] = acc
 
-        o_ref[:] = jax.lax.fori_loop(0, iters, body, b_ref[:])
-
-    @jax.jit
-    def run(w, b):
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((depth, lanes), jnp.float32),
             in_specs=[
@@ -95,38 +125,58 @@ def measure_mxu_ceiling(depth=128, lanes=512, iters=2000):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(w, b)
+        )
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(
+            rng.normal(size=(depth, depth)) / np.sqrt(depth), jnp.float32
+        )
+        b = jnp.asarray(rng.normal(size=(depth, lanes)), jnp.float32)
+        run = jax.jit(lambda: call(w, b))
+        return run
 
-    rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.normal(size=(depth, depth)) / np.sqrt(depth), jnp.float32)
-    b = jnp.asarray(rng.normal(size=(depth, lanes)), jnp.float32)
-    t = _timed(run, w, b)
-    flops = 2.0 * depth * depth * lanes * iters
-    return flops / t, t
+    s_per_iter = _timed_two_point(make_run, iters_lo, iters_hi)
+    flops_per_iter = 2.0 * depth * depth * lanes * ilp
+    return flops_per_iter / s_per_iter, s_per_iter
 
 
-def measure_vpu_ceiling(rows=256, lanes=1024, iters=4000, transcendental=False):
+def measure_vpu_ceiling(
+    rows=256, lanes=1024, iters_lo=500_000, iters_hi=2_000_000,
+    transcendental=False,
+):
     """Chained fused multiply-add x <- x·a + b (2 FLOPs/element/iter);
     with ``transcendental`` the chain is x <- sin(x)·a + b, pricing one
-    VPU transcendental + 2 FLOPs per element."""
+    VPU transcendental + 2 FLOPs per element. Two-point timing."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[:]
-        b = b_ref[:]
+    if transcendental:
+        iters_lo, iters_hi = iters_lo // 8, iters_hi // 8
+    ilp = 4  # independent chains — see measure_mxu_ceiling
 
-        def body(_, x):
-            x = jnp.sin(x) if transcendental else x
-            return x * a + b
+    def make_run(iters):
+        def kernel(a_ref, b_ref, o_ref):
+            a = a_ref[:]
+            b = b_ref[:]
 
-        o_ref[:] = jax.lax.fori_loop(0, iters, body, b)
+            def one(x):
+                x = jnp.sin(x) if transcendental else x
+                return x * a + b
 
-    @jax.jit
-    def run(a, b):
-        return pl.pallas_call(
+            def body(_, xs):
+                return tuple(one(x) for x in xs)
+
+            xs = jax.lax.fori_loop(
+                0, iters, body,
+                tuple(b * jnp.float32(0.2 * (i + 1)) for i in range(ilp)),
+            )
+            acc = xs[0]
+            for x in xs[1:]:
+                acc = acc + x
+            o_ref[:] = acc
+
+        call = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
             in_specs=[
@@ -134,16 +184,17 @@ def measure_vpu_ceiling(rows=256, lanes=1024, iters=4000, transcendental=False):
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(a, b)
+        )
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(0.5 + 0.01 * rng.random((rows, lanes)), jnp.float32)
+        b = jnp.asarray(0.1 * rng.random((rows, lanes)), jnp.float32)
+        return jax.jit(lambda: call(a, b))
 
-    rng = np.random.default_rng(1)
-    a = jnp.asarray(0.5 + 0.01 * rng.random((rows, lanes)), jnp.float32)
-    b = jnp.asarray(0.1 * rng.random((rows, lanes)), jnp.float32)
-    t = _timed(run, a, b)
-    n_ops = 2.0 * rows * lanes * iters  # FMA arithmetic only
-    rec = {"flops_per_s": n_ops / t, "wall_s": t}
+    s_per_iter = _timed_two_point(make_run, iters_lo, iters_hi)
+    n_ops_per_iter = 2.0 * rows * lanes * ilp  # FMA arithmetic only
+    rec = {"flops_per_s": n_ops_per_iter / s_per_iter, "s_per_iter": s_per_iter}
     if transcendental:
-        rec["transcendentals_per_s"] = rows * lanes * iters / t
+        rec["transcendentals_per_s"] = rows * lanes * ilp / s_per_iter
     return rec
 
 
@@ -151,9 +202,11 @@ def measure_vpu_ceiling(rows=256, lanes=1024, iters=4000, transcendental=False):
 # engine rows
 # --------------------------------------------------------------------------
 def _engine_steps_per_s(eng, steps, reps=3):
+    """Two-point (steps vs 5·steps) rate — cancels the tunnel dispatch."""
     eng.run(200)  # burn + compile
-    t = _timed(lambda: eng.run(steps), reps=reps)
-    return steps * eng.nbatch / t
+    t_lo = _timed(lambda: eng.run(steps), reps=reps)
+    t_hi = _timed(lambda: eng.run(5 * steps), reps=reps)
+    return 4 * steps * eng.nbatch / (t_hi - t_lo)
 
 
 def engine_rows(steps=20_000):
@@ -164,23 +217,29 @@ def engine_rows(steps=20_000):
 
     rows = []
 
+    # NOTE on units: ``_engine_steps_per_s`` measures JUMP ITERATIONS ×
+    # chains / s; one iteration integrates M leapfrog steps per trajectory
+    # half, so all op counts below are per ITERATION (= M × per-step).
+
     # --- rough well (elementwise, VPU-bound): per executed half-step per
     # dim: 2 (B) + 2 (A) + 2 (B) integrator FLOPs + du = x·c − sin(x·c)·c
     # (4 FLOPs + 1 sin); both trajectory halves run per credited step.
-    d = 2
+    d, m = 2, 10
     eng = PallasMJHMC(
-        RoughWell(ndims=d), epsilon=1.0, beta=0.1, num_leapfrog_steps=10,
+        RoughWell(ndims=d), epsilon=1.0, beta=0.1, num_leapfrog_steps=m,
         nbatch=102_400, seed=0,
     )
-    sps = _engine_steps_per_s(eng, steps)
-    flops_per_step = 2 * d * 10  # fwd+bwd, 10 arith FLOPs/dim/half
-    sins_per_step = 2 * d * 1
+    ips = _engine_steps_per_s(eng, steps)
+    flops_per_iter = m * 2 * d * 10  # fwd+bwd, 10 arith FLOPs/dim/half
+    sins_per_iter = m * 2 * d
     rows.append(dict(
-        engine="mjhmc_roughwell_elementwise", steps_per_s=sps,
-        flops_per_credited_step=flops_per_step,
-        transcendentals_per_credited_step=sins_per_step,
-        achieved_flops_per_s=sps * flops_per_step,
-        achieved_transcendentals_per_s=sps * sins_per_step,
+        engine="mjhmc_roughwell_elementwise",
+        iterations_per_s=ips,
+        credited_leapfrog_steps_per_s=ips * m,
+        flops_per_iteration=flops_per_iter,
+        transcendentals_per_iteration=sins_per_iter,
+        achieved_flops_per_s=ips * flops_per_iter,
+        achieved_transcendentals_per_s=ips * sins_per_iter,
         ceiling="vpu",
         op_count_source="pallas_mjhmc.py::_make_step leapfrog_pair + RoughWellSpec.du",
     ))
@@ -193,19 +252,20 @@ def engine_rows(steps=20_000):
 
     for pair in (True, False):
         eng = PallasMJHMC(
-            dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=10,
+            dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=m,
             nbatch=4096, seed=0,
         )
         eng.spec = ProductOfTSpec(dist, has_pair=pair)
-        sps = _engine_steps_per_s(eng, steps)
-        mm_flops = 8 * 36 * 36
+        ips = _engine_steps_per_s(eng, steps)
+        mm_flops = m * 8 * 36 * 36
         rows.append(dict(
             engine=f"mjhmc_product_of_t[pair={'on' if pair else 'off'}]",
-            steps_per_s=sps,
-            matmul_flops_per_credited_step=mm_flops,
-            achieved_matmul_flops_per_s=sps * mm_flops,
+            iterations_per_s=ips,
+            credited_leapfrog_steps_per_s=ips * m,
+            matmul_flops_per_iteration=mm_flops,
+            achieved_matmul_flops_per_s=ips * mm_flops,
             ceiling="mxu",
-            op_count_source="ProductOfTSpec.du/pair_du: 2 contractions × 2dk × 2 halves",
+            op_count_source="ProductOfTSpec.du/pair_du: 2 contractions × 2dk × 2 halves × M",
         ))
 
     # --- sparse coding (MXU, bf16x3): per half 2 logical contractions of
@@ -214,20 +274,22 @@ def engine_rows(steps=20_000):
     # executed counts them (that's what occupies the MXU).
     dist = SparseCoding(npixels=64, nbasis=128)
     eng = PallasMJHMC(
-        dist, epsilon=0.02, beta=0.1, num_leapfrog_steps=10,
+        dist, epsilon=0.02, beta=0.1, num_leapfrog_steps=m,
         nbatch=4096, seed=0,
     )
-    sps = _engine_steps_per_s(eng, steps)
-    useful = 2 * (2 * 2 * 64 * 128)
+    ips = _engine_steps_per_s(eng, steps)
+    useful = m * 2 * (2 * 2 * 64 * 128)
     executed = useful * 3
     rows.append(dict(
-        engine="mjhmc_sparse_coding[bf16x3]", steps_per_s=sps,
-        matmul_flops_per_credited_step_useful=useful,
-        matmul_flops_per_credited_step_executed=executed,
-        achieved_matmul_flops_per_s_useful=sps * useful,
-        achieved_matmul_flops_per_s_executed=sps * executed,
+        engine="mjhmc_sparse_coding[bf16x3]",
+        iterations_per_s=ips,
+        credited_leapfrog_steps_per_s=ips * m,
+        matmul_flops_per_iteration_useful=useful,
+        matmul_flops_per_iteration_executed=executed,
+        achieved_matmul_flops_per_s_useful=ips * useful,
+        achieved_matmul_flops_per_s_executed=ips * executed,
         ceiling="mxu",
-        op_count_source="SparseCodingSpec.du/_resid (+_dot_bf16x3 3 passes)",
+        op_count_source="SparseCodingSpec.du/_resid (+_dot_bf16x3 3 passes) × M",
     ))
 
     # --- NUTS engine (elementwise target): leaves/s vs the VPU; per leaf
@@ -240,7 +302,7 @@ def engine_rows(steps=20_000):
         num_leapfrog_steps=7, nbatch=10_240, seed=0,
     )
     eng.run(100)
-    n_iters = 2000
+    n_iters = 4000  # multi-second wall — dispatch cost < 2%
     t = _timed(lambda: eng.run(n_iters))
     leaves = float(np.asarray(eng.run(n_iters).evals, np.float64).sum())
     leaves_per_s = leaves / t
