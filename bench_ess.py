@@ -120,12 +120,51 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
             break
     else:
         if pinned:
-            return best, "pinned:" + ",".join(pinned)
+            return best, "pinned:" + ",".join(pinned), res.table
     on_physical = (
         np.isclose(best["beta"], 1.0, rtol=1e-3)
         or best["beta"] <= _BETA_FLOOR * (1 + 1e-3)
     )
-    return best, ("physical" if on_physical else "interior")
+    return best, ("physical" if on_physical else "interior"), res.table
+
+
+def _candidates(best, table, k=4):
+    """Regime-diverse arbitration set: the audited-grid best plus the best
+    uncensored point of each other (β decade, M) regime, by grid decay.
+
+    The grid objective — gradient evals to ρ=1/e — is the claim battery's
+    fairness currency, but the RECEIPT metric is wall-clock ESS/s on the
+    fused engine, and once the boundary audit unclamps the grids the two
+    can part ways: the eval-optimal corner (tiny β, tiny M) spends its
+    wall on per-iteration overhead and emits highly-correlated samples.
+    The receipts therefore ARBITRATE the top grid candidates by measured
+    ESS/s (same protocol as the final row, shorter window) — optimizing
+    the metric actually being reported, with the grid pruning the space.
+    """
+    pool = [
+        r for r in table
+        if np.isfinite(r["decay_evals"]) and not r.get("censored", False)
+    ] or list(table)
+    pool = sorted(pool, key=lambda r: r["decay_evals"])
+    seen, cands = set(), []
+    key0 = (
+        int(np.floor(np.log10(max(best["beta"], 1e-12)))),
+        int(best["num_leapfrog_steps"]),
+    )
+    seen.add(key0)
+    cands.append(best)
+    for r in pool:
+        key = (
+            int(np.floor(np.log10(max(r["beta"], 1e-12)))),
+            int(r["num_leapfrog_steps"]),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        cands.append(r)
+        if len(cands) >= k:
+            break
+    return cands
 
 
 def _tune_nuts(dist, cfg):
@@ -338,14 +377,29 @@ def main(argv=None):
                         dict(steps=2400, nlags=600)
                         if config == "rough_well_a3" else {}
                     )
-                    best, boundary = _tune(
+                    best, boundary, table = _tune(
                         cfg.make_distribution(), sampler, cfg, **tk
                     )
+                    # arbitrate regime-diverse grid candidates by the
+                    # metric actually reported — measured ESS/s on the
+                    # engine (short window), then re-measure the winner
+                    # at full protocol below
+                    cands = _candidates(best, table)
+                    best_rate, win = -1.0, best
+                    for cand in cands:
+                        trial = measure(
+                            config, sampler, max(600, a.steps // 4),
+                            max(200, a.burn // 2),
+                            cand["epsilon"], cand["beta"],
+                            cand["num_leapfrog_steps"],
+                        )
+                        if trial["value"] > best_rate:
+                            best_rate, win = trial["value"], cand
                     eps, beta, m = (
-                        best["epsilon"], best["beta"],
-                        best["num_leapfrog_steps"],
+                        win["epsilon"], win["beta"],
+                        win["num_leapfrog_steps"],
                     )
-                    tuned = not best.get("censored", False)
+                    tuned = not win.get("censored", False)
                 rec = measure(
                     config, sampler, a.steps, a.burn, eps, beta, m,
                     mass_diag=mass,
@@ -353,6 +407,11 @@ def main(argv=None):
                 rec["detail"]["tuned"] = tuned
                 if boundary is not None:
                     rec["detail"]["boundary"] = boundary
+                if a.tune and sampler not in ("nuts", "nuts-engine"):
+                    rec["detail"]["arbitration"] = (
+                        f"ess/s over {len(cands)} regime-diverse grid "
+                        "candidates"
+                    )
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
         if a.json_out:

@@ -652,7 +652,12 @@ def _bc(s, like):
     return s if s.ndim == like.ndim else s[None]
 
 
-def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
+#: BCSS minimal-error two-stage coefficient (ops/leapfrog.py TWO_STAGE_B)
+_TWO_STAGE_B = 0.1931833275037836
+
+
+def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m,
+               integrator: str = "leapfrog"):
     """Build the fused MJHMC jump-iteration body (layout-polymorphic).
 
     Works on both engine layouts: state blocks (d, S, L) with per-chain
@@ -676,7 +681,26 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
     """
     # loop-invariant: traced once at closure build, outside the steps-loop
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
-    use_pair = getattr(spec, "has_pair", False)
+    two_stage = integrator == "two_stage"
+    # per-iteration algorithmic eval cost of one trajectory half
+    # (ops/leapfrog.py INTEGRATORS: two_stage = 2 evals per step)
+    m_cost = (2 if two_stage else 1) * m
+    use_pair = getattr(spec, "has_pair", False) and not two_stage
+
+    def _two_stage_half(x, v, g):
+        """M BCSS two-stage steps (ops/leapfrog.py::two_stage in-kernel):
+        B(bε) A(ε/2) B((1−2b)ε) A(ε/2) B(bε), trailing kick's gradient
+        carried to the next step — exactly 2M spec.du calls."""
+        b = _TWO_STAGE_B
+        for _ in range(m):
+            v1 = v - (b * eps) * g
+            x = x + (0.5 * eps) * (v1 if inv_mass is None else inv_mass * v1)
+            g1 = spec.du(x, *params)
+            v2 = v1 - ((1.0 - 2.0 * b) * eps) * g1
+            x = x + (0.5 * eps) * (v2 if inv_mass is None else inv_mass * v2)
+            g = spec.du(x, *params)
+            v = v2 - (b * eps) * g
+        return x, v, g
 
     def leapfrog_pair(x, vf, gf, vb, gb):
         """M steps forward from (x, vf) and backward from (x, vb=-v).
@@ -684,6 +708,12 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
         Returns (xf, vf, gf, xb, vb, gb, uf, ub) — the endpoint potentials
         ride along so pair-capable specs can reuse the final contraction.
         """
+        if two_stage:
+            xf, vf, gf = _two_stage_half(x, vf, gf)
+            xb, vb, gb = _two_stage_half(x, vb, gb)
+            uf = spec.u_sum(xf, *params)
+            ub = spec.u_sum(xb, *params)
+            return xf, vf, gf, xb, vb, gb, uf, ub
         if use_pair:
             # both halves in ONE block-diagonal MXU contraction per step
             X = spec.pair_pack(x, x)
@@ -752,8 +782,11 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
         is_f = (~is_l) & (u_sel < gamma_l + gamma_f)
         is_r = (~is_l) & (~is_f)
 
-        # exact cost model: M forward + M backward-rebuild when cache invalid
-        evals_inc = jnp.where(valid > 0.5, jnp.int32(m), jnp.int32(2 * m))
+        # exact cost model: M forward + M backward-rebuild when cache
+        # invalid (each ×2 under the two-stage integrator)
+        evals_inc = jnp.where(
+            valid > 0.5, jnp.int32(m_cost), jnp.int32(2 * m_cost)
+        )
 
         x_pre = x
         v_fresh = _normal(x.shape)
@@ -772,7 +805,8 @@ def _make_step(spec: EnergySpec, params, inv_mass, eps, beta, m):
     return step
 
 
-def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
+def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m,
+                       integrator: str = "leapfrog"):
     """Fused ControlHMC iteration body — the engine-class baseline.
 
     A strict reduction of ``_make_step`` (no F-clock, no backward cache)
@@ -790,6 +824,9 @@ def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
     sb = jnp.sqrt(beta)
     sb1 = jnp.sqrt(jnp.maximum(1.0 - beta, 0.0))
+    two_stage = integrator == "two_stage"
+    m_cost = (2 if two_stage else 1) * m
+    b2 = _TWO_STAGE_B
 
     def halfsq(v):
         vv = v * v if inv_mass is None else v * v * inv_mass
@@ -806,10 +843,23 @@ def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
 
         xf, vf, gf = x, v, g
         for _ in range(m):
-            v_h = vf - (0.5 * eps) * gf
-            xf = xf + eps * (v_h if inv_mass is None else inv_mass * v_h)
-            gf = spec.du(xf, *params)
-            vf = v_h - (0.5 * eps) * gf
+            if two_stage:  # BCSS minimal-error splitting (2 evals/step)
+                v1 = vf - (b2 * eps) * gf
+                xf = xf + (0.5 * eps) * (
+                    v1 if inv_mass is None else inv_mass * v1
+                )
+                g1 = spec.du(xf, *params)
+                v2 = v1 - ((1.0 - 2.0 * b2) * eps) * g1
+                xf = xf + (0.5 * eps) * (
+                    v2 if inv_mass is None else inv_mass * v2
+                )
+                gf = spec.du(xf, *params)
+                vf = v2 - (b2 * eps) * gf
+            else:
+                v_h = vf - (0.5 * eps) * gf
+                xf = xf + eps * (v_h if inv_mass is None else inv_mass * v_h)
+                gf = spec.du(xf, *params)
+                vf = v_h - (0.5 * eps) * gf
         uf = spec.u_sum(xf, *params)
         h_l = uf + halfsq(vf)
 
@@ -823,14 +873,15 @@ def _make_step_control(spec: EnergySpec, params, inv_mass, eps, beta, m):
         u = jnp.where(acc, uf, u)
         g = jnp.where(ba, gf, g)
 
-        evals_inc = jnp.full(p.shape, m, jnp.int32)
+        evals_inc = jnp.full(p.shape, m_cost, jnp.int32)
         weight = jnp.ones_like(p)
         return (x, v, g, u, h_back, valid), (x, weight, evals_inc)
 
     return step
 
 
-def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m):
+def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m,
+                    integrator: str = "leapfrog"):
     """Fused MALT iteration body (samplers/malt.py semantics, in-kernel).
 
     Metropolis-Adjusted Langevin Trajectories (arXiv:2210.12200): full
@@ -850,6 +901,11 @@ def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m):
     Emission: post-transition x with unit weight (no dwell weighting).
     h_back/valid carry slots ride along untouched (shared kernel IO).
     """
+    if integrator != "leapfrog":
+        raise NotImplementedError(
+            "the MALT engine's OBABO splitting is leapfrog-structured; "
+            "use the XLA path for other integrators"
+        )
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
     eta = jnp.exp(-beta * eps * 0.5)
     sig = jnp.sqrt(jnp.maximum(0.0, 1.0 - eta * eta))
@@ -897,7 +953,8 @@ def _make_step_malt(spec: EnergySpec, params, inv_mass, eps, beta, m):
     return step
 
 
-def _make_step_nuts(spec: EnergySpec, params, inv_mass, eps, beta, m):
+def _make_step_nuts(spec: EnergySpec, params, inv_mass, eps, beta, m,
+                    integrator: str = "leapfrog"):
     """Fused NUTS iteration body (samplers/nuts.py semantics, in-kernel).
 
     The fourth engine-class sampler: the iterative masked NUTS tree
@@ -927,6 +984,10 @@ def _make_step_nuts(spec: EnergySpec, params, inv_mass, eps, beta, m):
     per-chain leaf count as the int32 eval increment (one fused u+du per
     leaf, the same cost model as the XLA path).
     """
+    if integrator != "leapfrog":
+        raise NotImplementedError(
+            "the NUTS tree's reversibility bookkeeping assumes leapfrog"
+        )
     max_depth = m
     div_threshold = 1000.0
     sqrt_m = None if inv_mass is None else jax.lax.rsqrt(inv_mass)
@@ -1154,6 +1215,7 @@ def _mjhmc_mm_kernel(
     num_leapfrog: int,
     unroll: int,
     has_mass: bool,
+    integrator: str,
     *refs,
 ):
     """Matmul-energy variant of ``_mjhmc_kernel`` (2-D layout)."""
@@ -1169,7 +1231,8 @@ def _mjhmc_mm_kernel(
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
-        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog,
+        integrator=integrator,
     )
 
     assert num_steps % unroll == 0
@@ -1192,7 +1255,7 @@ def _mjhmc_mm_kernel(
     jax.jit,
     static_argnames=(
         "spec", "num_steps", "num_leapfrog", "lane_block", "interpret",
-        "unroll", "variant",
+        "unroll", "variant", "integrator",
     ),
 )
 def pallas_mjhmc_mm_run(
@@ -1213,6 +1276,7 @@ def pallas_mjhmc_mm_run(
     unroll: int = 1,
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
+    integrator: str = "leapfrog",
 ) -> PallasRunOut:
     """Fused engine run for matmul energies (product-of-t, sparse coding).
 
@@ -1272,7 +1336,7 @@ def pallas_mjhmc_mm_run(
         unroll = 1
     kernel = functools.partial(
         _mjhmc_mm_kernel, variant, spec, len(params), num_steps, num_leapfrog,
-        unroll, has_mass,
+        unroll, has_mass, integrator,
     )
     out = pl.pallas_call(
         kernel,
@@ -1336,6 +1400,7 @@ def _mjhmc_kernel(
     num_leapfrog: int,
     unroll: int,
     has_mass: bool,
+    integrator: str,
     *refs,
 ):
     seed_ref, eps_ref, beta_ref, params_ref = refs[:4]
@@ -1349,7 +1414,8 @@ def _mjhmc_kernel(
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
-        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog,
+        integrator=integrator,
     )
 
     # Mosaic fori_loop only supports unroll ∈ {1, full}; unroll manually by
@@ -1377,6 +1443,7 @@ def _mjhmc_stream_kernel(
     thin: int,
     num_leapfrog: int,
     has_mass: bool,
+    integrator: str,
     *refs,
 ):
     """Streaming variant: every ``thin``-th iteration's Rao-Blackwell
@@ -1403,7 +1470,8 @@ def _mjhmc_stream_kernel(
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
-        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+        spec, (params_ref[:],), inv_mass, eps_ref[0], beta_ref[0], num_leapfrog,
+        integrator=integrator,
     )
     i = pl.program_id(0)
     lb = xscr_ref.shape[-1]
@@ -1479,6 +1547,7 @@ def _mjhmc_mm_stream_kernel(
     num_leapfrog: int,
     d_pad: int,
     has_mass: bool,
+    integrator: str,
     *refs,
 ):
     """Streaming variant of ``_mjhmc_mm_kernel``: every ``thin``-th
@@ -1501,7 +1570,8 @@ def _mjhmc_mm_stream_kernel(
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     step = _STEP_BUILDERS[variant](
-        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog
+        spec, params, inv_mass, eps_ref[0], beta_ref[0], num_leapfrog,
+        integrator=integrator,
     )
     i = pl.program_id(0)
     lb = xscr_ref.shape[-1]
@@ -1579,7 +1649,7 @@ def _mjhmc_mm_stream_kernel(
     jax.jit,
     static_argnames=(
         "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant",
-        "interpret",
+        "interpret", "integrator",
     ),
 )
 def pallas_mjhmc_mm_stream_run(
@@ -1600,6 +1670,7 @@ def pallas_mjhmc_mm_stream_run(
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
     interpret=False,
+    integrator: str = "leapfrog",
 ):
     """Streaming matmul-engine run: ``num_emits`` thinned Rao-Blackwell
     emissions — (xs (num_emits, d, n), ws (num_emits, 1, n),
@@ -1649,7 +1720,7 @@ def pallas_mjhmc_mm_stream_run(
 
     kernel = functools.partial(
         _mjhmc_mm_stream_kernel, variant, spec, len(params), num_emits, thin,
-        num_leapfrog, d_pad, has_mass,
+        num_leapfrog, d_pad, has_mass, integrator,
     )
     out = pl.pallas_call(
         kernel,
@@ -1714,7 +1785,7 @@ class PallasRunOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "spec", "num_steps", "num_leapfrog", "lane_block", "interpret",
-        "unroll", "variant",
+        "unroll", "variant", "integrator",
     ),
 )
 def pallas_mjhmc_run(
@@ -1735,6 +1806,7 @@ def pallas_mjhmc_run(
     unroll: int = 1,
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
+    integrator: str = "leapfrog",
 ) -> PallasRunOut:
     d, s, l = x.shape
     assert s == _SUBLANES and l % _LANES == 0
@@ -1784,7 +1856,8 @@ def pallas_mjhmc_run(
     if num_steps % unroll:
         unroll = 1
     kernel = functools.partial(
-        _mjhmc_kernel, variant, spec, num_steps, num_leapfrog, unroll, has_mass
+        _mjhmc_kernel, variant, spec, num_steps, num_leapfrog, unroll,
+        has_mass, integrator,
     )
     out = pl.pallas_call(
         kernel,
@@ -1822,7 +1895,7 @@ def pallas_mjhmc_run(
     jax.jit,
     static_argnames=(
         "spec", "num_emits", "thin", "num_leapfrog", "lane_block", "variant",
-        "interpret",
+        "interpret", "integrator",
     ),
 )
 def pallas_mjhmc_stream_run(
@@ -1843,6 +1916,7 @@ def pallas_mjhmc_stream_run(
     inv_mass: Array | None = None,
     variant: str = "mjhmc",
     interpret=False,
+    integrator: str = "leapfrog",
 ):
     """Streaming engine run: ``num_emits`` thinned Rao-Blackwell emissions.
 
@@ -1889,7 +1963,7 @@ def pallas_mjhmc_stream_run(
         mass_specs = [dspec()]
     kernel = functools.partial(
         _mjhmc_stream_kernel, variant, spec, num_emits, thin, num_leapfrog,
-        has_mass,
+        has_mass, integrator,
     )
     out = pl.pallas_call(
         kernel,
@@ -2010,6 +2084,11 @@ class PallasMJHMC:
     # of more grid steps — exposed for the lane-block stall study
     # (VERDICT r3 weak #5 / DESIGN §5b').
     lane_block: int | None = None
+    # "leapfrog" (1 eval/step) or "two_stage" (BCSS minimal-error
+    # splitting, 2 evals/step — arXiv:1912.03253; mjhmc/control variants
+    # only). Counters charge 2M per trajectory half, matching the XLA
+    # samplers' integrator="two_stage" cost model (ops/leapfrog.py).
+    integrator: str = "leapfrog"
 
     def __post_init__(self):
         self.spec = energy_spec_for(self.distribution)
@@ -2075,6 +2154,7 @@ class PallasMJHMC:
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
             variant=self.variant,
+            integrator=self.integrator,
             **kw,
         )
         self._advance_seed()
@@ -2110,6 +2190,7 @@ class PallasMJHMC:
             self.num_leapfrog_steps,
             inv_mass=self.inv_mass,
             variant=self.variant,
+            integrator=self.integrator,
             **kw,
         )
         self._advance_seed()

@@ -927,3 +927,68 @@ def test_engine_exact_evals_axis_matches_xla_at_bursty_beta():
     assert abs(ac_eng.decay_evals / ac_xla.decay_evals - 1.0) < 0.3, (
         ac_eng.decay_evals, ac_xla.decay_evals,
     )
+
+
+def test_interpret_mode_two_stage_counters_and_semantics():
+    """CPU pin of the two-stage engine integrator (VERDICT r3 item 10).
+
+    Deterministic interpret mode: MJHMC at integrator='two_stage' must
+    charge exactly 2M·steps + 2M evals per chain (2 evals per integrator
+    step, ops/leapfrog.py INTEGRATORS; + the one fresh backward rebuild),
+    control exactly 2M·steps with Σweight = steps. And the control
+    variant's deterministic trajectory must MATCH ops.leapfrog.two_stage
+    run on the same inits with the same corrupted momentum — the kernel
+    body is the same BCSS splitting."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mjhmc_tpu.ops.leapfrog import two_stage
+    from mjhmc_tpu.ops.pallas_mjhmc import (
+        energy_spec_for,
+        pallas_mjhmc_run,
+    )
+
+    dist = RoughWell(ndims=2)
+    spec = energy_spec_for(dist)
+    n, s = 1024, 8
+    l = n // s
+    x = dist.init_x(jax.random.key(0), n).reshape(2, s, l)
+    v = jax.random.normal(jax.random.key(1), x.shape, jnp.float32)
+    u, g = dist.potential_and_grad(x.reshape(2, n))
+    steps, m = 50, 5
+    args = (
+        spec, x, v, g.reshape(2, s, l), u.reshape(s, l),
+        jnp.zeros((s, l)), jnp.zeros((s, l)),
+        jnp.int32(7), jnp.float32(0.4), jnp.float32(0.1), steps, m,
+    )
+    ip = pltpu.InterpretParams()
+    out = pallas_mjhmc_run(*args, interpret=ip, integrator="two_stage")
+    np.testing.assert_array_equal(
+        np.asarray(out.evals), 2 * m * steps + 2 * m
+    )
+
+    out_c = pallas_mjhmc_run(
+        *args, interpret=ip, variant="control", integrator="two_stage"
+    )
+    np.testing.assert_array_equal(np.asarray(out_c.evals), 2 * m * steps)
+    np.testing.assert_array_equal(np.asarray(out_c.w), float(steps))
+
+    # one-step control trajectory == ops.leapfrog.two_stage on the same
+    # corrupted momentum (interpret PRNG ⟹ xi is the deterministic
+    # Box-Muller of ~zero bits; replicate it host-side)
+    one = pallas_mjhmc_run(
+        *args[:10], 1, m, interpret=ip, variant="control",
+        integrator="two_stage",
+    )
+    u24 = 0.5 / (1 << 24)  # _uniform of zero PRNG bits
+    r = np.sqrt(-2.0 * np.log(u24))
+    xi = np.float32(r * np.cos(2.0 * np.pi * u24))
+    beta = 0.1
+    v_corr = np.sqrt(1 - beta) * np.asarray(v) + np.sqrt(beta) * xi
+    xf, vf, _, _ = two_stage(
+        lambda xx: dist.potential_and_grad(xx),
+        x.reshape(2, n), jnp.asarray(v_corr).reshape(2, n),
+        g, jnp.float32(0.4), m,
+    )
+    np.testing.assert_allclose(
+        np.asarray(one.x).reshape(2, n), np.asarray(xf), rtol=2e-5, atol=2e-5
+    )
