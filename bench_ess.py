@@ -128,36 +128,48 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
     return best, ("physical" if on_physical else "interior"), res.table
 
 
-def _candidates(best, table, k=4):
-    """Regime-diverse arbitration set: the audited-grid best plus the best
-    uncensored point of each other (β decade, M) regime, by grid decay.
+def _candidates(best, table, cfg=None, k=7):
+    """Regime-diverse arbitration set, by grid decay: the audited-grid
+    best, the best uncensored point of each other β decade, the best
+    point at each distinct M, and the config's preset operating point.
 
     The grid objective — gradient evals to ρ=1/e — is the claim battery's
     fairness currency, but the RECEIPT metric is wall-clock ESS/s on the
     fused engine, and once the boundary audit unclamps the grids the two
-    can part ways: the eval-optimal corner (tiny β, tiny M) spends its
-    wall on per-iteration overhead and emits highly-correlated samples.
-    The receipts therefore ARBITRATE the top grid candidates by measured
-    ESS/s (same protocol as the final row, shorter window) — optimizing
-    the metric actually being reported, with the grid pruning the space.
+    can part ways in BOTH directions: the eval-optimal corner (tiny β,
+    tiny M) spends its wall on per-iteration overhead and correlated
+    emissions, while on near-iid targets the ESS estimator saturates at
+    the raw-sample count and the metric instead rewards the cheapest
+    emissions (small M) regardless of decay rank. The per-decade AND
+    per-M bests cover both failure directions; the preset anchors the
+    set. The receipts then ARBITRATE by measured ESS/s (same protocol,
+    shorter window) — optimizing the metric actually being reported,
+    with the grid pruning the space.
     """
     pool = [
         r for r in table
         if np.isfinite(r["decay_evals"]) and not r.get("censored", False)
     ] or list(table)
     pool = sorted(pool, key=lambda r: r["decay_evals"])
-    seen, cands = set(), []
-    key0 = (
-        int(np.floor(np.log10(max(best["beta"], 1e-12)))),
-        int(best["num_leapfrog_steps"]),
-    )
-    seen.add(key0)
-    cands.append(best)
+
+    def bkey(r):
+        return int(np.floor(np.log10(max(r["beta"], 1e-12))))
+
+    cands = [best]
+    per_decade, per_m = {}, {}
     for r in pool:
-        key = (
-            int(np.floor(np.log10(max(r["beta"], 1e-12)))),
-            int(r["num_leapfrog_steps"]),
-        )
+        per_decade.setdefault(bkey(r), r)
+        per_m.setdefault(int(r["num_leapfrog_steps"]), r)
+    extras = list(per_decade.values()) + list(per_m.values())
+    if cfg is not None:
+        extras.append(dict(
+            epsilon=float(cfg.epsilon), beta=float(cfg.beta),
+            num_leapfrog_steps=int(cfg.num_leapfrog_steps),
+            decay_evals=float("nan"), censored=False,
+        ))
+    seen = {(best["epsilon"], best["beta"], best["num_leapfrog_steps"])}
+    for r in extras:
+        key = (r["epsilon"], r["beta"], r["num_leapfrog_steps"])
         if key in seen:
             continue
         seen.add(key)
@@ -384,7 +396,7 @@ def main(argv=None):
                     # metric actually reported — measured ESS/s on the
                     # engine (short window), then re-measure the winner
                     # at full protocol below
-                    cands = _candidates(best, table)
+                    cands = _candidates(best, table, cfg)
                     best_rate, win = -1.0, best
                     for cand in cands:
                         trial = measure(
@@ -392,6 +404,7 @@ def main(argv=None):
                             max(200, a.burn // 2),
                             cand["epsilon"], cand["beta"],
                             cand["num_leapfrog_steps"],
+                            trials=1,  # ranking only; winner re-measured
                         )
                         if trial["value"] > best_rate:
                             best_rate, win = trial["value"], cand
