@@ -413,6 +413,17 @@ def main(argv=None):
                         win["num_leapfrog_steps"],
                     )
                     tuned = not win.get("censored", False)
+                    if win is not best:
+                        # the audit's boundary verdict belongs to the
+                        # grid best; relabel for the arbitrated winner
+                        # (an interior pool point or a physical bound)
+                        win_physical = (
+                            np.isclose(win["beta"], 1.0, rtol=1e-3)
+                            or win["beta"] <= _BETA_FLOOR * (1 + 1e-3)
+                        )
+                        boundary = (
+                            "physical" if win_physical else "interior"
+                        ) + ":arbitrated"
                 rec = measure(
                     config, sampler, a.steps, a.burn, eps, beta, m,
                     mass_diag=mass,
