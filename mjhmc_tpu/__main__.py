@@ -68,6 +68,7 @@ def cmd_sample(args):
             num_leapfrog_steps=nlf,
             nbatch=args.nbatch or cfg.nbatch,
             seed=args.seed,
+            integrator=getattr(args, "integrator", "leapfrog"),
         )
         eng.run(args.burn)
         xs_j, ws_j = eng.sample(args.steps)
@@ -123,6 +124,8 @@ def cmd_sample(args):
             **kw,
         )
     else:
+        if args.sampler in ("mjhmc", "control"):
+            kw["integrator"] = getattr(args, "integrator", "leapfrog")
         s = cls(
             dist,
             epsilon=cfg.epsilon,
@@ -326,7 +329,12 @@ def main(argv=None):
     sp.add_argument("--save", default=None, help="npz path for raw samples")
     sp.add_argument("--engine", choices=["xla", "pallas"], default="xla",
                     help="pallas = the fused single-kernel engine (TPU; "
-                         "mjhmc/control/malt)")
+                         "mjhmc/control/malt/nuts)")
+    sp.add_argument("--integrator", choices=["leapfrog", "two_stage"],
+                    default="leapfrog",
+                    help="two_stage = BCSS minimal-error splitting "
+                         "(2 grad evals/step, arXiv:1912.03253; mjhmc/"
+                         "control on either engine)")
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("bench")
