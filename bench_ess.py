@@ -13,21 +13,39 @@ measures it end-to-end:
   - ``--sampler malt``: the fused Pallas MALT engine (the ``--beta`` slot
     carries the friction γ);
   - ``--sampler nuts-engine``: the fused Pallas NUTS engine
-    (``--num-leapfrog-steps`` is max_depth, default 8; tuned rows get the
-    full Stan-style warmup: dual-averaged ε + diagonal mass matrix);
+    (``--num-leapfrog-steps`` is max_depth; tuned rows get the full
+    Stan-style warmup — dual-averaged ε + diagonal mass matrix — plus a
+    measured (max_depth, lane_block) arbitration, VERDICT r4 item 4);
   - ``--sampler control-xla|nuts``: the XLA samplers' ``sample`` path,
     same protocol with unweighted ESS (control-xla kept for reference —
     it was round 2's handicapped baseline).
 
-Single-run mode prints ONE JSON line like bench.py (best-of-3 trials,
-host-forced timing). ``--table`` sweeps configs × samplers — with
-``--tune`` each (config, sampler) pair first gets a dense log-grid
-(ε, β, M) search (search/grid.py; objective = grad evals to ρ=1/e) and is
-measured at its own optimum: the tuned north-star receipts. The tuner is
-BOUNDARY-AUDITED (VERDICT r3 item 1): any axis whose optimum lands on a
-non-physical grid edge is extended and re-searched until every tuned
-coordinate is interior or sits on a physical bound; each receipt row
-carries a ``boundary`` field recording the outcome.
+Single-run mode prints ONE JSON line like bench.py. ``--table`` sweeps
+configs × samplers — with ``--tune`` each (config, sampler) pair first
+gets a dense log-grid (ε, β, M) search (search/grid.py; objective = grad
+evals to ρ=1/e) and is measured at its own optimum: the tuned north-star
+receipts. Round-5 protocol additions (VERDICT r4 items 1-4):
+
+  - every committed row is the MEDIAN of ``--repeats`` (default 5)
+    independent full-protocol measurements (fresh seeds → fresh chains,
+    fresh windows) and carries the per-repeat values + relative spread,
+    so winner margins can be judged against measurement noise; the window
+    auto-lengthens (doubling emits, or thin once emits hit the HBM cap)
+    while the spread exceeds ``--spread-tol``;
+  - the INTEGRATOR is a tuned axis for mjhmc/control: the barrier
+    configs grid-tune two_stage jointly with (ε, β, M); every config
+    additionally arbitrates matched-budget two_stage transforms
+    (2ε, M/2 — identical evals and trajectory span) of its top leapfrog
+    candidates, and each row records the winning ``integrator``;
+  - the boundary audit's M ladder extends to 560 with ``max_rounds=5``
+    so the round-4 ``pinned:m_hi`` rows can go interior;
+  - NUTS rows arbitrate max_depth (4…12, edge-extended) and — engine
+    rows — lane_block ∈ {512, 1024} by measured ESS/s.
+
+The tuner is BOUNDARY-AUDITED (VERDICT r3 item 1): any axis whose
+optimum lands on a non-physical grid edge is extended and re-searched
+until every tuned coordinate is interior or sits on a physical bound;
+each receipt row carries a ``boundary`` field recording the outcome.
 """
 
 import argparse
@@ -45,6 +63,13 @@ TABLE_CONFIGS = (
     "sparse_coding",
 )
 
+# configs whose tuned leapfrog ε is acceptance-limited by the energy-error
+# ripple — the regime where the two-stage splitting's ~10× smaller error
+# constant can pay for its 2 evals/step; these get the FULL joint
+# (integrator, ε, β, M) grid tune (VERDICT r4 item 2). Everywhere else
+# two_stage enters arbitration via matched-budget transforms only.
+BARRIER_CONFIGS = ("rough_well", "rough_well_a3")
+
 
 # β (or MALT's γ) floor below which the dynamics are measurement-window
 # indistinguishable from the β→0 limit: at β = 2e-4 the refresh/damping
@@ -52,13 +77,16 @@ TABLE_CONFIGS = (
 # so pushing the grid further down cannot change the measured decay — the
 # same argument the claim battery's boundary audit made (RESULTS.md).
 _BETA_FLOOR = 2e-4
-# trajectory-length ladder for the M axis (extended on demand; the round-3
-# receipts capped M at 20 and 13/24 rows pinned there — VERDICT r3 weak #1)
-_M_LADDER = (2, 5, 10, 20, 35, 50, 70, 100, 140, 200)
+# trajectory-length ladder for the M axis (extended on demand; round 3
+# capped M at 20 and 13/24 rows pinned there; round 4's top of 200 with
+# max_rounds=3 still left gauss50d control/MALT at pinned:m_hi=100 —
+# VERDICT r4 item 3 — so the ladder now reaches 560 and the audit gets
+# five widening rounds)
+_M_LADDER = (2, 5, 10, 20, 35, 50, 70, 100, 140, 200, 280, 400, 560)
 
 
 def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
-          max_rounds=3):
+          max_rounds=5, integrator="leapfrog"):
     """Boundary-audited dense log-grid (ε, β, M) tune.
 
     Runs ``search.grid.grid_search`` and, whenever the best point lands on
@@ -66,7 +94,7 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
     ``_BETA_FLOOR``, M at the ladder top), widens that axis and re-searches
     — up to ``max_rounds`` times. Physical bounds are never extended:
     β = 1.0 (full refresh) and β ≤ ``_BETA_FLOOR`` (the effective β→0
-    limit). Returns ``(best_row, boundary)`` with boundary ∈
+    limit). Returns ``(best_row, boundary, table)`` with boundary ∈
     {"interior", "physical", "pinned:<axes>"} — "pinned" means the audit
     ran out of rounds with an axis still on a widenable edge (reported
     honestly, never silently).
@@ -74,6 +102,10 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
     from mjhmc_tpu.search.grid import grid_search
 
     eps0 = cfg.epsilon
+    if integrator == "two_stage":
+        # matched-budget prior: 2 evals/step → the comparable step size
+        # is ~2× leapfrog's, so center the (re-searched) ε window there
+        eps0 = 2.0 * eps0
     eps_lo, eps_hi = eps0 / 8.0, eps0 * 8.0
     beta_lo, beta_hi = 5e-3, 1.0
     m_hi = 20
@@ -89,6 +121,7 @@ def _tune(dist, sampler, cfg, steps=600, nbatch=256, nlags=150,
             num_steps=steps,
             nbatch=min(nbatch, cfg.nbatch),
             nlags=nlags,
+            integrator=integrator,
         )
         best = res.best
         pinned = []
@@ -196,6 +229,13 @@ def _tune_nuts(dist, cfg):
     return float(eps), mass_diag
 
 
+def _window_cap(cfg, dist) -> int:
+    """Emit cap keeping one (steps, d, nbatch) f32 block under ~2 GB —
+    the timed loop holds two copies live (previous + new), and e.g.
+    sparse_coding at 2000×128×8192 would otherwise exhaust HBM."""
+    return int(2_000_000_000 // (4 * dist.ndims * cfg.nbatch))
+
+
 def measure(
     config: str,
     sampler: str = "mjhmc",
@@ -207,8 +247,17 @@ def measure(
     trials: int = 3,
     mass_diag=None,
     lane_block=None,
+    integrator: str = "leapfrog",
+    seed: int = 0,
+    thin: int = 1,
 ) -> dict:
-    """ESS/sec/chip for one (config, sampler) at the given operating point."""
+    """ESS/sec/chip for one (config, sampler) at the given operating point.
+
+    ``seed`` gives an independent realization (fresh chains AND a fresh
+    sampling window); ``thin`` lengthens the physical window without
+    lengthening the emitted block (engine paths only) — both serve the
+    repeats protocol (``measure_repeats``).
+    """
     import jax.numpy as jnp
 
     cfg = BENCHMARK_CONFIGS[config]
@@ -220,11 +269,7 @@ def measure(
     else:
         m = cfg.num_leapfrog_steps if m is None else m
 
-    # cap the streamed window so one (steps, d, nbatch) f32 block stays
-    # under ~2 GB — the timed loop holds two copies live (previous + new),
-    # and e.g. sparse_coding at 2000×128×8192 would otherwise exhaust HBM
-    cap = int(2_000_000_000 // (4 * dist.ndims * cfg.nbatch))
-    steps = max(100, min(steps, cap))
+    steps = max(100, min(steps, _window_cap(cfg, dist)))
 
     engine_class = (
         "pallas"
@@ -243,6 +288,8 @@ def measure(
         kw = {}
         if lane_block is not None:
             kw["lane_block"] = int(lane_block)
+        if sampler in ("mjhmc", "control"):
+            kw["integrator"] = integrator
         if sampler == "nuts-engine":
             beta = 0.0  # unused scalar slot
             if mass_diag is not None:
@@ -251,18 +298,18 @@ def measure(
                 )
         eng = cls(
             dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
-            nbatch=cfg.nbatch, seed=0, **kw,
+            nbatch=cfg.nbatch, seed=seed, **kw,
         )
         eng.run(burn)  # burn-in + engine compile
         # warm the streaming kernel at the SAME num_emits — it is a static
         # kernel parameter, so a different warmup size would leave the
         # timed call paying the compile
-        xs, ws = eng.sample(steps)
+        xs, ws = eng.sample(steps, thin=thin)
         float(ws.sum())
         wall = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            xs, ws = eng.sample(steps)
+            xs, ws = eng.sample(steps, thin=thin)
             float(ws.sum())  # force host materialization (axon tunnel)
             wall = min(wall, time.perf_counter() - t0)
         ess = float(effective_sample_size(xs, ws))
@@ -273,11 +320,11 @@ def measure(
         if sampler == "control-xla":
             s = ControlHMC(
                 dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
-                nbatch=cfg.nbatch, seed=0,
+                nbatch=cfg.nbatch, seed=seed, integrator=integrator,
             )
         else:
             s = NUTS(
-                dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=0,
+                dist, epsilon=epsilon, nbatch=cfg.nbatch, seed=seed,
                 mass_diag=mass_diag, max_depth=m,
             )
         s.burn_in(burn)
@@ -302,6 +349,10 @@ def measure(
     extra = {}
     if lane_block is not None:
         extra["lane_block"] = int(lane_block)
+    if sampler in ("mjhmc", "control", "control-xla"):
+        extra["integrator"] = integrator
+    if thin != 1:
+        extra["thin"] = int(thin)
     if sampler == "nuts":
         extra["depth_hist"] = depth_hist
         if mass_diag is not None:
@@ -328,6 +379,181 @@ def measure(
     }
 
 
+def measure_repeats(
+    config, sampler, steps=2000, burn=500, epsilon=None, beta=None, m=None,
+    repeats=5, spread_tol=0.20, mass_diag=None, lane_block=None,
+    integrator="leapfrog", trials=2, max_doublings=2,
+):
+    """Repeats protocol (VERDICT r4 item 1): ``repeats`` independent
+    full-protocol measurements (fresh seed → fresh chains, fresh window),
+    reported as the MEDIAN with the per-repeat values and relative spread
+    ((max−min)/median) in the receipt. While the spread exceeds
+    ``spread_tol`` the window is lengthened — emits double until the HBM
+    cap, then ``thin`` doubles (engine paths) — up to ``max_doublings``
+    times or until a single window costs >20 s wall. Every committed
+    winner margin can then be judged against the measured noise band.
+    """
+    cfg = BENCHMARK_CONFIGS[config]
+    cap = _window_cap(cfg, cfg.make_distribution())
+    thin = 1
+    lengthened = 0
+    for attempt in range(max_doublings + 1):
+        vals, recs = [], []
+        for r in range(repeats):
+            rec = measure(
+                config, sampler, steps, burn, epsilon, beta, m,
+                trials=trials, mass_diag=mass_diag, lane_block=lane_block,
+                integrator=integrator, seed=r, thin=thin,
+            )
+            vals.append(rec["value"])
+            recs.append(rec)
+        med = float(np.median(vals))
+        spread = (max(vals) - min(vals)) / max(med, 1e-30)
+        wall = float(np.median(
+            [r["detail"]["sampling_wall_s"] for r in recs]
+        ))
+        if spread <= spread_tol or attempt == max_doublings or wall > 20.0:
+            break
+        if steps * 2 <= cap:
+            steps *= 2
+        elif sampler in ("mjhmc", "control", "malt", "nuts-engine"):
+            thin *= 2  # longer physical window, same emitted block
+        else:
+            break  # XLA path at its cap — report the spread honestly
+        lengthened += 1
+    # carry the repeat whose value is closest to the median as the
+    # representative record (its detail fields describe a real run)
+    rec = recs[int(np.argmin([abs(v - med) for v in vals]))]
+    rec["value"] = med
+    rec["detail"]["repeats"] = {
+        "n": len(vals),
+        "values": [float(f"{v:.6g}") for v in vals],
+        "rel_spread": round(spread, 4),
+        "window_steps": int(steps),
+        "thin": int(thin),
+        "lengthened": int(lengthened),
+    }
+    return rec
+
+
+def _arbitrate_sampler(config, sampler, cfg, a):
+    """Tune + candidate arbitration for one (config, sampler) pair under
+    ``--tune``; returns (eps, beta, m, integrator, boundary, n_cands)."""
+    dist = cfg.make_distribution()
+    # Barrier-regime mixing is slow — give that config a 4× window so
+    # slow-mixing samplers tune uncensored
+    tk = (
+        dict(steps=2400, nlags=600)
+        if config == "rough_well_a3" else {}
+    )
+    best, boundary, gtable = _tune(dist, sampler, cfg, **tk)
+    cands = [dict(c, integrator="leapfrog")
+             for c in _candidates(best, gtable, cfg)]
+    boundaries = {"leapfrog": boundary}
+    if sampler in ("mjhmc", "control"):
+        if config in BARRIER_CONFIGS:
+            # full joint (integrator, ε, β, M) grid tune (VERDICT r4 item 2)
+            best2, b2, gt2 = _tune(
+                dist, sampler, cfg, integrator="two_stage", **tk
+            )
+            cands += [dict(c, integrator="two_stage")
+                      for c in _candidates(best2, gt2, cfg, k=5)]
+            boundaries["two_stage"] = b2
+        else:
+            # matched-budget transforms of the top leapfrog candidates:
+            # 2ε with M/2 steps = identical evals AND trajectory span
+            for c in list(cands[:2]):
+                cands.append(dict(
+                    c, integrator="two_stage",
+                    epsilon=2.0 * c["epsilon"],
+                    num_leapfrog_steps=max(1, c["num_leapfrog_steps"] // 2),
+                ))
+            boundaries["two_stage"] = "matched-budget"
+    # dedup
+    seen, uniq = set(), []
+    for c in cands:
+        key = (c["integrator"], round(c["epsilon"], 9), round(c["beta"], 9),
+               c["num_leapfrog_steps"])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(c)
+    cands = uniq
+    # arbitrate regime-diverse grid candidates by the metric actually
+    # reported — measured ESS/s on the engine (short window), then the
+    # winner is re-measured at full repeats protocol by the caller
+    best_rate, win = -1.0, cands[0]
+    for cand in cands:
+        trial = measure(
+            config, sampler, max(600, a.steps // 4), max(200, a.burn // 2),
+            cand["epsilon"], cand["beta"], cand["num_leapfrog_steps"],
+            trials=1,  # ranking only; winner re-measured
+            integrator=cand["integrator"],
+        )
+        if trial["value"] > best_rate:
+            best_rate, win = trial["value"], cand
+    integ = win["integrator"]
+    if win is cands[0]:
+        out_boundary = boundaries["leapfrog"]
+    elif boundaries.get(integ) == "matched-budget":
+        out_boundary = "matched-budget:arbitrated"
+    else:
+        # the audit's boundary verdict belongs to each grid's best point;
+        # relabel for an arbitrated winner from the candidate pool
+        win_physical = (
+            np.isclose(win["beta"], 1.0, rtol=1e-3)
+            or win["beta"] <= _BETA_FLOOR * (1 + 1e-3)
+        )
+        out_boundary = (
+            "physical" if win_physical else "interior"
+        ) + ":arbitrated"
+    tuned = not win.get("censored", False)
+    return (
+        win["epsilon"], win["beta"], win["num_leapfrog_steps"], integ,
+        out_boundary, len(cands), tuned,
+    )
+
+
+def _arbitrate_nuts(config, sampler, cfg, a, eps, mass):
+    """Measured (max_depth, lane_block) arbitration for the NUTS rows
+    (VERDICT r4 item 4): short-window ESS/s over depth ∈ {4,6,8,10}
+    (edge-extended to 12) × lane_block ∈ {512, 1024} (engine rows only —
+    the XLA path has no lane blocking). Returns
+    (max_depth, lane_block, boundary, rates)."""
+    depth_grid = [4, 6, 8, 10]
+    lane_grid = [512, 1024] if sampler == "nuts-engine" else [None]
+    rates = {}
+
+    def rate(d, lb):
+        key = (d, lb)
+        if key not in rates:
+            trial = measure(
+                config, sampler, max(600, a.steps // 4),
+                max(200, a.burn // 2), eps, None, d,
+                trials=1, mass_diag=mass, lane_block=lb,
+            )
+            rates[key] = trial["value"]
+        return rates[key]
+
+    best_key = max(
+        ((d, lb) for d in depth_grid for lb in lane_grid),
+        key=lambda k: rate(*k),
+    )
+    boundary = "warmup-adapted+arbitrated"
+    if best_key[0] == depth_grid[-1]:
+        # depth won at the grid edge — extend once (same audit discipline
+        # as the (ε, β, M) tuner; 12 is 4095 leaves, past any realized
+        # tree in the committed depth histograms)
+        ext = (12, best_key[1])
+        if rate(*ext) > rate(*best_key):
+            best_key = ext
+            boundary += ":depth_hi"
+    rates_out = {
+        f"d{d}" + (f"/lb{lb}" if lb else ""): float(f"{v:.6g}")
+        for (d, lb), v in rates.items()
+    }
+    return best_key[0], best_key[1], boundary, rates_out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="rough_well")
@@ -341,6 +567,14 @@ def main(argv=None):
     ap.add_argument("--epsilon", type=float, default=None)
     ap.add_argument("--beta", type=float, default=None)
     ap.add_argument("--num-leapfrog-steps", type=int, default=None)
+    ap.add_argument("--integrator", default="leapfrog",
+                    choices=["leapfrog", "two_stage"])
+    ap.add_argument("--repeats", type=int, default=None,
+                    help="independent repeat measurements per row (median "
+                         "+ spread in the receipt); default 1 single-run, "
+                         "5 for --table")
+    ap.add_argument("--spread-tol", type=float, default=0.20,
+                    help="relative spread above which the window lengthens")
     ap.add_argument("--table", action="store_true",
                     help="sweep all BASELINE configs x samplers")
     ap.add_argument("--configs", default=None,
@@ -352,90 +586,69 @@ def main(argv=None):
                          "table (all four engine-class families + the "
                          "XLA-path NUTS reference column)")
     ap.add_argument("--tune", action="store_true",
-                    help="grid-tune (eps, beta, M) per pair before measuring")
+                    help="grid-tune (eps, beta, M [, integrator]) per pair "
+                         "before measuring")
     ap.add_argument("--json-out", default=None)
     a = ap.parse_args(argv)
 
     try:
         if not a.table:
-            rec = measure(
-                a.config, a.sampler, a.steps, a.burn,
-                a.epsilon, a.beta, a.num_leapfrog_steps,
-            )
+            repeats = 1 if a.repeats is None else a.repeats
+            if repeats > 1:
+                rec = measure_repeats(
+                    a.config, a.sampler, a.steps, a.burn,
+                    a.epsilon, a.beta, a.num_leapfrog_steps,
+                    repeats=repeats, spread_tol=a.spread_tol,
+                    integrator=a.integrator,
+                )
+            else:
+                rec = measure(
+                    a.config, a.sampler, a.steps, a.burn,
+                    a.epsilon, a.beta, a.num_leapfrog_steps,
+                    integrator=a.integrator,
+                )
             print(json.dumps(rec))
             return 0
 
+        repeats = 5 if a.repeats is None else a.repeats
         rows = []
-        table = TABLE_CONFIGS
+        configs = TABLE_CONFIGS
         if a.configs:
-            table = tuple(c for c in a.configs.split(",") if c)
-        for config in table:
+            configs = tuple(c for c in a.configs.split(",") if c)
+        for config in configs:
             cfg = BENCHMARK_CONFIGS[config]
             for sampler in tuple(s for s in a.samplers.split(",") if s):
-                eps = beta = m = mass = None
+                eps = beta = m = mass = lane = None
+                integ = "leapfrog"
                 tuned = False
                 boundary = None
+                extra = {}
                 if a.tune and sampler in ("nuts", "nuts-engine"):
-                    # NUTS warmup: ε via dual averaging + variance metric
+                    # NUTS warmup: ε via dual averaging + variance metric,
+                    # then the measured depth/lane-block arbitration
                     eps, mass = _tune_nuts(cfg.make_distribution(), cfg)
+                    m, lane, boundary, rates = _arbitrate_nuts(
+                        config, sampler, cfg, a, eps, mass
+                    )
+                    extra["depth_lane_rates"] = rates
                     tuned = True
-                    boundary = "warmup-adapted"
                 elif a.tune:
-                    # grid-tune on the XLA path; the operating point
-                    # transfers to the fused engine (same algorithm).
-                    # Barrier-regime mixing is slow — give that config a
-                    # 4× window so slow-mixing samplers tune uncensored
-                    tk = (
-                        dict(steps=2400, nlags=600)
-                        if config == "rough_well_a3" else {}
+                    (eps, beta, m, integ, boundary, ncands, tuned) = (
+                        _arbitrate_sampler(config, sampler, cfg, a)
                     )
-                    best, boundary, table = _tune(
-                        cfg.make_distribution(), sampler, cfg, **tk
+                    extra["arbitration"] = (
+                        f"ess/s over {ncands} regime-diverse grid "
+                        "candidates (x integrator)"
                     )
-                    # arbitrate regime-diverse grid candidates by the
-                    # metric actually reported — measured ESS/s on the
-                    # engine (short window), then re-measure the winner
-                    # at full protocol below
-                    cands = _candidates(best, table, cfg)
-                    best_rate, win = -1.0, best
-                    for cand in cands:
-                        trial = measure(
-                            config, sampler, max(600, a.steps // 4),
-                            max(200, a.burn // 2),
-                            cand["epsilon"], cand["beta"],
-                            cand["num_leapfrog_steps"],
-                            trials=1,  # ranking only; winner re-measured
-                        )
-                        if trial["value"] > best_rate:
-                            best_rate, win = trial["value"], cand
-                    eps, beta, m = (
-                        win["epsilon"], win["beta"],
-                        win["num_leapfrog_steps"],
-                    )
-                    tuned = not win.get("censored", False)
-                    if win is not best:
-                        # the audit's boundary verdict belongs to the
-                        # grid best; relabel for the arbitrated winner
-                        # (an interior pool point or a physical bound)
-                        win_physical = (
-                            np.isclose(win["beta"], 1.0, rtol=1e-3)
-                            or win["beta"] <= _BETA_FLOOR * (1 + 1e-3)
-                        )
-                        boundary = (
-                            "physical" if win_physical else "interior"
-                        ) + ":arbitrated"
-                rec = measure(
+                rec = measure_repeats(
                     config, sampler, a.steps, a.burn, eps, beta, m,
-                    mass_diag=mass,
+                    repeats=repeats, spread_tol=a.spread_tol,
+                    mass_diag=mass, lane_block=lane, integrator=integ,
                 )
                 rec["detail"]["tuned"] = tuned
                 if boundary is not None:
                     rec["detail"]["boundary"] = boundary
-                if a.tune and sampler not in ("nuts", "nuts-engine"):
-                    rec["detail"]["arbitration"] = (
-                        f"ess/s over {len(cands)} regime-diverse grid "
-                        "candidates"
-                    )
+                rec["detail"].update(extra)
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
         if a.json_out:
