@@ -250,23 +250,42 @@ def engine_rows(steps=20_000):
     dist = ProductOfT(ndims=36, nbasis=36)
     from mjhmc_tpu.ops.pallas_mjhmc import ProductOfTSpec
 
-    for pair in (True, False):
+    pot_ips = {}
+    for pair, stub in ((True, False), (False, False), (True, True)):
         eng = PallasMJHMC(
             dist, epsilon=0.12, beta=0.1, num_leapfrog_steps=m,
             nbatch=4096, seed=0,
         )
-        eng.spec = ProductOfTSpec(dist, has_pair=pair)
+        eng.spec = ProductOfTSpec(dist, has_pair=pair, stub_dots=stub)
         ips = _engine_steps_per_s(eng, steps)
-        mm_flops = m * 8 * 36 * 36
+        mm_flops = 0 if stub else m * 8 * 36 * 36
+        tag = "dots=stubbed" if stub else f"pair={'on' if pair else 'off'}"
+        pot_ips[tag] = ips
         rows.append(dict(
-            engine=f"mjhmc_product_of_t[pair={'on' if pair else 'off'}]",
+            engine=f"mjhmc_product_of_t[{tag}]",
             iterations_per_s=ips,
             credited_leapfrog_steps_per_s=ips * m,
             matmul_flops_per_iteration=mm_flops,
             achieved_matmul_flops_per_s=ips * mm_flops,
-            ceiling="mxu",
-            op_count_source="ProductOfTSpec.du/pair_du: 2 contractions × 2dk × 2 halves × M",
+            ceiling="vpu (ablation floor)" if stub else "mxu",
+            op_count_source="ProductOfTSpec.du/pair_du: 2 contractions × 2dk × 2 halves × M"
+            if not stub else
+            "MatmulEnergySpec._dot stub_dots: slice+broadcast, zero MXU passes",
         ))
+    # direct structural-bound receipt (VERDICT r4 item 5): the stubbed
+    # kernel's wall is the non-matmul VPU floor; its share of the full
+    # kernel's wall says how much a better MXU schedule could EVER buy
+    rows.append(dict(
+        engine="mjhmc_product_of_t[ablation_verdict]",
+        nonmatmul_floor_fraction_of_full_wall=(
+            pot_ips["pair=on"] / pot_ips["dots=stubbed"]
+        ),
+        interpretation=(
+            "stubbed-iterations/s ÷ full-iterations/s; a fraction near 1 "
+            "means the dots are nearly free (VPU-bound engine), near 0 "
+            "means MXU-bound"
+        ),
+    ))
 
     # --- sparse coding (MXU, bf16x3): per half 2 logical contractions of
     # 2·p·b each (resid + grad; u_sum's resid CSEs with du's), ×3 MXU
@@ -351,7 +370,7 @@ def main(argv=None):
     for r in rows:
         ceil = (
             ceilings["mxu_bf16pass_flops_per_s"]
-            if r["ceiling"] == "mxu"
+            if r.get("ceiling") == "mxu"
             else ceilings["vpu_fma_flops_per_s"]
         )
         ach = (
@@ -359,7 +378,8 @@ def main(argv=None):
             or r.get("achieved_matmul_flops_per_s_executed")
             or r.get("achieved_flops_per_s")
         )
-        r["mfu"] = ach / ceil
+        if ach:  # verdict/ablation rows carry no FLOP counts
+            r["mfu"] = ach / ceil
         print(json.dumps(r), flush=True)
 
     record = {"ceilings": ceilings, "engines": rows}

@@ -215,7 +215,9 @@ DEFAULT_TARGETS = (
             nlags=300,
             search_steps=800,
             search_nlags=200,
-            m_grid=(2, 5, 10, 20, 35, 50),
+            # ladder top 100: the round-4 M audit left control pinned at
+            # the then-top M=50 ("upper bound" caveat, VERDICT r4 item 3)
+            m_grid=(2, 5, 10, 20, 35, 50, 70, 100),
         ),
     ),
 )

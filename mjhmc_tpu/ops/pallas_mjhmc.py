@@ -280,9 +280,28 @@ class MatmulEnergySpec(EnergySpec):
         raise NotImplementedError
 
     def _dot(self, a, b, dims):
-        """MXU contraction at the spec's `precision` (see _PRECISIONS)."""
+        """MXU contraction at the spec's `precision` (see _PRECISIONS).
+
+        ``stub_dots`` (ablation knob, VERDICT r4 item 5): replace every
+        contraction with a slice+broadcast of the dynamic operand — the
+        result keeps its shape and data dependence (so Mosaic cannot DCE
+        the downstream VPU work) but costs no MXU passes. The measured
+        iteration rate with the stub is the engine's NON-MATMUL floor:
+        integrator/dudy/clock VPU work + loop overhead. Statistics are
+        meaningless under the stub; it exists only for the MFU dossier's
+        direct structural-bound receipt (bench_mfu.py).
+        """
+        if getattr(self, "stub_dots", False):
+            (ca,), (cb,) = dims
+            vec = jax.lax.index_in_dim(b, 0, axis=cb, keepdims=False)
+            rows = a.shape[1 - ca]
+            return jnp.broadcast_to(
+                (vec * np.float32(1e-3))[None], (rows,) + vec.shape
+            )
         if self.precision == "bf16x3":
             return _dot_bf16x3(a, b, dims)
+        if self.precision == "bf16x2":
+            return _dot_bf16x2(a, b, dims)
         return jax.lax.dot_general(
             a, b, (dims, ((), ())),
             precision=_PRECISIONS[self.precision],
@@ -315,6 +334,38 @@ def _dot_bf16x3(a, b, dims):
     return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
+def _dot_bf16x2(a, b, dims):
+    """Parameter-exact two-pass split: a·b ≈ bf16(a)·b (VERDICT r4 item 6).
+
+    Every matmul-spec contraction here puts the STATIC parameter matrix
+    (W, Φ, Xs) first and the dynamic state second (ProductOfTSpec._y /
+    SparseCodingSpec._resid / LogregSpec.du), so truncating only the
+    FIRST operand and keeping the second f32-exact via the split
+
+        a_hi·b_hi + a_hi·b_lo  =  a_hi·(b_hi + b_lo)  ≈  bf16(a)·b
+
+    computes the contraction for the once-perturbed parameter matrix to
+    ~2⁻¹⁷ (the b_lo re-truncation — the same residual class as bf16x3's
+    dropped lo·lo term): the sampler then targets a self-consistent model whose
+    dictionary differs by ≤2⁻⁹ relative — no per-step truncation noise on
+    the state side (the component that shifts sparse-coding's dwell mass
+    under a single bf16 pass), no detailed-balance inconsistency, at 2/3
+    of bf16x3's executed MXU passes. Receipt: the mm-precision sweep
+    (tools/bench_mm_precision.py → mm_precision_sweep.json) compares the
+    dwell-weighted variances of all four precisions on-chip.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo)
+
+
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — what the XLA
     # path's einsums use on TPU (models/*.py, preferred f32 accumulate)
@@ -340,6 +391,8 @@ class ProductOfTSpec(MatmulEnergySpec):
     dist: ProductOfT
     precision: str = "default"
     has_pair: bool = True
+    #: ablation: stub both contractions (see MatmulEnergySpec._dot)
+    stub_dots: bool = False
 
     def _pads(self):
         d, k = self.dist.ndims, self.dist.nbasis
@@ -422,6 +475,8 @@ class SparseCodingSpec(MatmulEnergySpec):
 
     dist: SparseCoding
     precision: str = "bf16x3"
+    #: ablation: stub both contractions (see MatmulEnergySpec._dot)
+    stub_dots: bool = False
 
     def param_arrays(self):
         # host-side numpy only: this runs under an active jit trace, so the

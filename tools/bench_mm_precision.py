@@ -2,8 +2,12 @@
 
 Times pallas_mjhmc_mm_run (via PallasMJHMC) on sparse coding and
 product-of-t at each supported precision, plus the XLA scan path for the
-same config, and prints leapfrog steps/s. Receipt for the bf16x3
-split-float default (RESULTS.md throughput table).
+same config, and prints leapfrog steps/s. Receipt for the precision
+default (RESULTS.md throughput table). The round-5 sweep adds the
+two-pass parameter-exact 'bf16x2' split (VERDICT r4 item 6 —
+_dot_bf16x2: exact contraction for a once-truncated dictionary, so the
+accuracy column to watch is the dwell-weighted variance shift vs
+'highest').
 """
 
 import dataclasses
@@ -52,7 +56,7 @@ def main():
     for name in ("sparse_coding", "product_of_t"):
         cfg = BENCHMARK_CONFIGS[name]
         cfg = dataclasses.replace(cfg, nbatch=4096)
-        for prec in ("highest", "bf16x3", "default"):
+        for prec in ("highest", "bf16x3", "bf16x2", "default"):
             rate, var4 = time_engine(cfg, prec)
             results[f"{name}/{prec}"] = {
                 "steps_per_sec": round(rate / 1e9, 4),

@@ -1,22 +1,26 @@
-"""M-axis boundary audit of the committed claim battery (VERDICT r3 item 3).
+"""M-axis boundary audit of the committed claim battery (VERDICT r3
+item 3 / r4 item 3).
 
 Round 3's `efficiency_claim.json` pinned several optima at the old M=20
-grid ceiling (gauss50d both samplers, rough_well a=4 both, sparse_coding
-both). `efficiency_claim.DEFAULT_TARGETS` now carries m_grid up to 50;
-this driver re-tunes EXACTLY the pinned targets at the extended grid and
-MERGES the re-tuned rows + recomputed ratios into the committed JSON,
-recording the per-target ratio delta so RESULTS can state "M optima
-interior or ratios stable within X%". (A full-battery rerun covers the
-same ground at ~3× the chip time; the unpinned targets' optima are
-untouched by an M-ceiling extension by construction — their tuned M sat
-strictly inside the old grid.)
+grid ceiling; round 4 re-audited {gauss50d, rough_well[a=4],
+sparse_coding} at m_grid≤50 and left exactly one row — sparse_coding
+control — at the NEW top M=50 (the "upper bound" caveat).
+`efficiency_claim.DEFAULT_TARGETS` now carries the sparse grid up to
+100; this driver re-tunes the targets named by ``--targets`` (default:
+the still-pinned sparse_coding) at the extended grid and MERGES the
+re-tuned rows + recomputed ratios into the committed JSON, recording
+the per-target ratio delta so RESULTS can state "M optima interior or
+ratios stable within X%". (A full-battery rerun covers the same ground
+at ~3× the chip time; targets with strictly interior optima are
+untouched by a ceiling extension by construction.)
 
-Usage (real TPU): python tools/claim_m_audit.py
+Usage (real TPU): python tools/claim_m_audit.py [--targets a,b]
 Writes docs/figures/efficiency_claim.json (merged) and
 docs/figures/efficiency_claim_m_audit.{json,png,npz} (the audit's own
 rows/curves receipt).
 """
 
+import argparse
 import json
 import sys
 
@@ -24,6 +28,11 @@ sys.path.insert(0, ".")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default="sparse_coding",
+                    help="comma-separated battery targets to re-audit")
+    a = ap.parse_args()
+
     import jax
 
     if jax.default_backend() != "tpu":
@@ -39,7 +48,7 @@ def main():
         save_figure,
     )
 
-    pinned = {"gauss50d", "rough_well[a=4]", "sparse_coding"}
+    pinned = {t for t in a.targets.split(",") if t}
     targets = tuple(t for t in DEFAULT_TARGETS if t[0] in pinned)
     assert {t[0] for t in targets} == pinned
 
@@ -78,10 +87,16 @@ def main():
     committed["ratios"].update(
         {k: v for k, v in result["ratios"].items()}
     )
+    prior = committed.get("m_audit", {})
     committed["m_audit"] = {
-        "m_grid_max": 50,
+        # per-target grid ceiling actually searched this audit
+        "m_grid_max": {
+            name: max(kw.get("m_grid", (50,))) for name, _, kw in targets
+        },
         "re_audited_targets": sorted(pinned),
         "deltas": deltas,
+        "prior_audit": {k: prior.get(k) for k in
+                        ("m_grid_max", "re_audited_targets")},
     }
     with open(path, "w") as f:
         json.dump(committed, f, indent=1)

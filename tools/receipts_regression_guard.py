@@ -1,14 +1,18 @@
-"""Receipts regression guard: re-arbitrate rows that regressed vs round 3.
+"""Receipts regression guard: re-arbitrate rows that regressed vs the
+previous round's committed receipts.
 
 The boundary-audited tuner + short-window arbitration can occasionally
-pick a worse operating point than round 3's (the trial ranking is one
-noisy window). ESS/s at ANY measured operating point is a valid lower
-bound of the row's achievable metric, so for every (config, sampler)
-whose fresh value fell >25% below the round-3 committed receipt this
-guard re-measures the ROUND-3 operating point under the identical
-full protocol and keeps whichever measured row is faster — recording
-both measurements in the kept row (`regression_guard` field) so the
-arbitration is auditable.
+pick a worse operating point than the previous round's (the trial
+ranking is one noisy window). ESS/s at ANY measured operating point is a
+valid lower bound of the row's achievable metric, so for every
+(config, sampler) whose fresh MEDIAN fell >25% below the previously
+committed receipt this guard re-measures the OLD operating point under
+the round-5 repeats protocol (measure_repeats — median of independent
+seeds, spread recorded) and keeps whichever measured row is faster —
+recording both measurements in the kept row (``regression_guard`` field)
+so the arbitration is auditable. Round-4 rows were single-window
+best-of-3 point estimates; re-measuring their POINTS under the repeats
+protocol is the apples-to-apples comparison.
 
 Usage (real TPU):
   python tools/receipts_regression_guard.py [--old GITREF] \
@@ -25,9 +29,11 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--old", default="ff48ec9")
+    ap.add_argument("--old", default="01817fa",
+                    help="git ref holding the previous round's receipts")
     ap.add_argument("--json", default="docs/figures/ess_receipts.json")
     ap.add_argument("--threshold", type=float, default=0.25)
+    ap.add_argument("--repeats", type=int, default=5)
     a = ap.parse_args()
 
     import jax
@@ -39,7 +45,7 @@ def main():
 
     float(jax.jit(lambda x: x * 2)(jnp.ones(8)).sum())
 
-    from bench_ess import _tune_nuts, measure
+    from bench_ess import _tune_nuts, measure_repeats
     from mjhmc_tpu.config import BENCHMARK_CONFIGS
 
     old = json.loads(
@@ -63,15 +69,18 @@ def main():
         d = o["detail"]
         config, sampler = k
         print(f"# regressed {k}: {row['value']:.3g} < {o['value']:.3g}; "
-              f"re-measuring round-3 point", flush=True)
+              f"re-measuring previous round's point under repeats",
+              flush=True)
         mass = None
         if sampler in ("nuts", "nuts-engine"):
             cfg = BENCHMARK_CONFIGS[config]
             _, mass = _tune_nuts(cfg.make_distribution(), cfg)
-        redo = measure(
+        redo = measure_repeats(
             config, sampler, 2000, 500,
             d["epsilon"], d["beta"], d["num_leapfrog_steps"],
-            mass_diag=mass,
+            repeats=a.repeats, mass_diag=mass,
+            lane_block=d.get("lane_block"),
+            integrator=d.get("integrator", "leapfrog"),
         )
         if redo["value"] > row["value"]:
             redo["detail"]["tuned"] = d.get("tuned", True)
@@ -82,17 +91,19 @@ def main():
                     f: row["detail"][f]
                     for f in ("epsilon", "beta", "num_leapfrog_steps")
                 },
-                "kept": "round3_point",
+                "kept": "previous_round_point",
+                "previous_round_single_window_value": o["value"],
             }
             new[i] = redo
             changed += 1
             print(json.dumps(redo), flush=True)
         else:
             row["detail"]["regression_guard"] = {
-                "round3_point_value": redo["value"],
+                "previous_round_point_repeats_value": redo["value"],
+                "previous_round_single_window_value": o["value"],
                 "kept": "audited_point",
             }
-            print(f"# round-3 point re-measured slower "
+            print(f"# previous point re-measured slower "
                   f"({redo['value']:.3g}); keeping audited row", flush=True)
 
     with open(a.json, "w") as f:
