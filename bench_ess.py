@@ -382,7 +382,7 @@ def measure(
 def measure_repeats(
     config, sampler, steps=2000, burn=500, epsilon=None, beta=None, m=None,
     repeats=5, spread_tol=0.20, mass_diag=None, lane_block=None,
-    integrator="leapfrog", trials=2, max_doublings=2,
+    integrator="leapfrog", trials=2, max_doublings=2, thin=1,
 ):
     """Repeats protocol (VERDICT r4 item 1): ``repeats`` independent
     full-protocol measurements (fresh seed → fresh chains, fresh window),
@@ -395,7 +395,6 @@ def measure_repeats(
     """
     cfg = BENCHMARK_CONFIGS[config]
     cap = _window_cap(cfg, cfg.make_distribution())
-    thin = 1
     lengthened = 0
     for attempt in range(max_doublings + 1):
         vals, recs = [], []
@@ -434,6 +433,52 @@ def measure_repeats(
         "lengthened": int(lengthened),
     }
     return rec
+
+
+def _equalize_config_windows(config, entries, rows, repeats, spread_tol):
+    """Per-config window equalization (fairness for the winner call).
+
+    ESS/s is monotone-increasing in the measurement window for EVERY row:
+    the ~52 ms dispatch amortizes, and where the ESS estimator saturates
+    at the raw count the value keeps scaling with emitted samples. The
+    adaptive spread-lengthening (measure_repeats) therefore must not
+    leave one sampler measured at a 4× longer window than its rivals —
+    after all of a config's rows are measured, any row whose effective
+    window (steps × thin) is below the config's maximum is re-measured
+    at that maximum (emits capped by HBM, thin making up the rest), so
+    within a config every committed value shares one window.
+    """
+    effs = {}
+    for i, sampler, _ in entries:
+        rep = rows[i]["detail"]["repeats"]
+        effs[i] = rep["window_steps"] * rep["thin"]
+    if not effs or len(set(effs.values())) <= 1:
+        return
+    target = max(effs.values())
+    cfg = BENCHMARK_CONFIGS[config]
+    cap = _window_cap(cfg, cfg.make_distribution())
+    for i, sampler, p in entries:
+        if effs[i] >= target:
+            continue
+        steps = min(target, cap)
+        thin = -(-target // steps)  # ceil
+        if sampler in ("nuts", "control-xla") and thin > 1:
+            # XLA paths have no thin — cap at the HBM-bounded emit count
+            thin = 1
+        old = rows[i]
+        rec = measure_repeats(
+            config, sampler, steps, 500, p["epsilon"], p["beta"], p["m"],
+            repeats=repeats, spread_tol=spread_tol,
+            mass_diag=p["mass"], lane_block=p["lane"],
+            integrator=p["integrator"], max_doublings=0, thin=thin,
+        )
+        for k in ("tuned", "boundary", "arbitration", "depth_lane_rates"):
+            if k in old["detail"]:
+                rec["detail"][k] = old["detail"][k]
+        rec["detail"]["window_equalized_to"] = int(target)
+        rec["detail"]["pre_equalization_value"] = old["value"]
+        rows[i] = rec
+        print(json.dumps(rec), flush=True)
 
 
 def _arbitrate_sampler(config, sampler, cfg, a):
@@ -617,6 +662,7 @@ def main(argv=None):
             configs = tuple(c for c in a.configs.split(",") if c)
         for config in configs:
             cfg = BENCHMARK_CONFIGS[config]
+            config_entries = []  # (row index, sampler, operating point)
             for sampler in tuple(s for s in a.samplers.split(",") if s):
                 eps = beta = m = mass = lane = None
                 integ = "leapfrog"
@@ -649,8 +695,15 @@ def main(argv=None):
                 if boundary is not None:
                     rec["detail"]["boundary"] = boundary
                 rec["detail"].update(extra)
+                config_entries.append((len(rows), sampler, dict(
+                    epsilon=eps, beta=beta, m=m, mass=mass, lane=lane,
+                    integrator=integ,
+                )))
                 rows.append(rec)
                 print(json.dumps(rec), flush=True)
+            _equalize_config_windows(
+                config, config_entries, rows, repeats, a.spread_tol
+            )
         if a.json_out:
             with open(a.json_out, "w") as f:
                 json.dump(rows, f, indent=1)
