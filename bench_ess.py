@@ -286,8 +286,6 @@ def measure(
         cls = {"mjhmc": PallasMJHMC, "control": PallasControlHMC,
                "malt": PallasMALT, "nuts-engine": PallasNUTS}[sampler]
         kw = {}
-        if lane_block is not None:
-            kw["lane_block"] = int(lane_block)
         if sampler in ("mjhmc", "control"):
             kw["integrator"] = integrator
         if sampler == "nuts-engine":
@@ -296,16 +294,35 @@ def measure(
                 kw["inv_mass"] = tuple(
                     1.0 / np.asarray(mass_diag, np.float64)
                 )
-        eng = cls(
-            dist, epsilon=epsilon, beta=beta, num_leapfrog_steps=m,
-            nbatch=cfg.nbatch, seed=seed, **kw,
-        )
-        eng.run(burn)  # burn-in + engine compile
-        # warm the streaming kernel at the SAME num_emits — it is a static
-        # kernel parameter, so a different warmup size would leave the
-        # timed call paying the compile
-        xs, ws = eng.sample(steps, thin=thin)
-        float(ws.sum())
+        # deep-M / wide-d points can overflow the 16 MB scoped-VMEM
+        # kernel frame by a hair (seen: gauss50d stream at 16.11 M);
+        # halving the lane block splits the grid and is the honest
+        # achievable rate under the constraint — retry, never crash a
+        # 2-hour table run on one candidate
+        tries = [lane_block] + [
+            lb for lb in (512, 256, 128)
+            if lane_block is None or lb < lane_block
+        ]
+        for lb_try in tries:
+            try:
+                kw_lb = dict(kw)
+                if lb_try is not None:
+                    kw_lb["lane_block"] = int(lb_try)
+                eng = cls(
+                    dist, epsilon=epsilon, beta=beta,
+                    num_leapfrog_steps=m, nbatch=cfg.nbatch, seed=seed,
+                    **kw_lb,
+                )
+                eng.run(burn)  # burn-in + engine compile
+                # warm the streaming kernel at the SAME num_emits — it is
+                # a static kernel parameter, so a different warmup size
+                # would leave the timed call paying the compile
+                xs, ws = eng.sample(steps, thin=thin)
+                float(ws.sum())
+                break
+            except Exception as e:
+                if "vmem" not in str(e).lower() or lb_try == tries[-1]:
+                    raise
         wall = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()

@@ -210,9 +210,9 @@ from mjhmc_tpu.inference.smc import smc_run
 
 dist = BENCHMARK_CONFIGS["gauss50d"].make_distribution()
 mesh = Mesh(jax.devices(), ("chains",))
-stages = 12
+stages = 32
 fit = jax.jit(lambda k: smc_run(
-    dist, k, num_particles=2048, num_stages=stages, num_mutation_steps=3,
+    dist, k, num_particles=2048, num_stages=stages, num_mutation_steps=5,
     num_leapfrog_steps=5, mesh=mesh,
 ))
 with mesh:
