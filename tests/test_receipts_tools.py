@@ -100,3 +100,30 @@ def test_cli_writes_winners_json(tmp_path):
         (tmp_path / "docs" / "figures" / "ess_winners.json").read_text()
     )
     assert calls["cfg"]["winner"] == "mjhmc"
+
+
+def test_receipts_to_markdown_render():
+    """The RESULTS table renderer: winner bolded only on a declared win,
+    all contenders bolded on a tie, spreads and tuned axes in the cells."""
+    from receipts_to_markdown import render
+
+    rows = [
+        _row("gauss2d", "mjhmc", 2.0e6, spread=0.05, integrator="two_stage"),
+        _row("gauss2d", "control", 1.0e6, spread=0.05),
+        _row("product_of_t", "mjhmc", 1.0e6, spread=1.5),
+        _row("product_of_t", "control", 1.2e6, spread=1.2),
+    ]
+    for r in rows:
+        r["detail"]["num_leapfrog_steps"] = 10
+    calls = {
+        "gauss2d": {"winner": "mjhmc"},
+        "product_of_t": {"winner": None, "tie": ["mjhmc", "control"]},
+    }
+    md = render(rows, calls)
+    lines = md.splitlines()
+    g = next(l for l in lines if l.startswith("| gauss2d"))
+    assert "**2.00e6** ±5% (two_stage, M=10)" in g
+    assert "**1.00e6**" not in g  # loser not bolded
+    t = next(l for l in lines if "product_of_t" in l)
+    assert "*(tie)*" in t
+    assert "**1.00e6**" in t and "**1.20e6**" in t  # both tied cells bold
