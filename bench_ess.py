@@ -298,11 +298,18 @@ def measure(
         # kernel frame by a hair (seen: gauss50d stream at 16.11 M);
         # halving the lane block splits the grid and is the honest
         # achievable rate under the constraint — retry, never crash a
-        # 2-hour table run on one candidate
+        # 2-hour table run on one candidate. CAUTION: through the axon
+        # remote-compile tunnel the VMEM OOM surfaces as an opaque
+        # "remote_compile: HTTP 500" JaxRuntimeError (the OOM detail only
+        # reaches the service log), so compile-service failures are
+        # treated as retryable too — a non-VMEM compile bug fails every
+        # ladder rung and still raises at the last try.
         tries = [lane_block] + [
             lb for lb in (512, 256, 128)
             if lane_block is None or lb < lane_block
         ]
+        retryable = ("vmem", "out of memory", "remote_compile",
+                     "tpu_compile_helper")
         for lb_try in tries:
             try:
                 kw_lb = dict(kw)
@@ -319,10 +326,17 @@ def measure(
                 # would leave the timed call paying the compile
                 xs, ws = eng.sample(steps, thin=thin)
                 float(ws.sum())
+                if lb_try is not None and lb_try != lane_block:
+                    lane_block = lb_try  # record the lane actually run
                 break
             except Exception as e:
-                if "vmem" not in str(e).lower() or lb_try == tries[-1]:
+                msg = str(e).lower()
+                if (not any(s in msg for s in retryable)
+                        or lb_try == tries[-1]):
                     raise
+                print(f"# lane_block {lb_try or 'default'} failed "
+                      f"({type(e).__name__}); retrying smaller",
+                      file=sys.stderr, flush=True)
         wall = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
@@ -416,11 +430,27 @@ def measure_repeats(
     for attempt in range(max_doublings + 1):
         vals, recs = [], []
         for r in range(repeats):
-            rec = measure(
-                config, sampler, steps, burn, epsilon, beta, m,
-                trials=trials, mass_diag=mass_diag, lane_block=lane_block,
-                integrator=integrator, seed=r, thin=thin,
-            )
+            try:
+                rec = measure(
+                    config, sampler, steps, burn, epsilon, beta, m,
+                    trials=trials, mass_diag=mass_diag,
+                    lane_block=lane_block, integrator=integrator, seed=r,
+                    thin=thin,
+                )
+            except Exception as e:
+                # the axon remote-compile service intermittently 500s
+                # (observed after a VMEM-OOM crash of its helper); one
+                # backoff retry of the same repeat, then give up for real
+                print(f"# repeat {r} failed ({type(e).__name__}); "
+                      "retrying once after 30 s", file=sys.stderr,
+                      flush=True)
+                time.sleep(30.0)
+                rec = measure(
+                    config, sampler, steps, burn, epsilon, beta, m,
+                    trials=trials, mass_diag=mass_diag,
+                    lane_block=lane_block, integrator=integrator, seed=r,
+                    thin=thin,
+                )
             vals.append(rec["value"])
             recs.append(rec)
         med = float(np.median(vals))
@@ -545,12 +575,21 @@ def _arbitrate_sampler(config, sampler, cfg, a):
     # winner is re-measured at full repeats protocol by the caller
     best_rate, win = -1.0, cands[0]
     for cand in cands:
-        trial = measure(
-            config, sampler, max(600, a.steps // 4), max(200, a.burn // 2),
-            cand["epsilon"], cand["beta"], cand["num_leapfrog_steps"],
-            trials=1,  # ranking only; winner re-measured
-            integrator=cand["integrator"],
-        )
+        try:
+            trial = measure(
+                config, sampler, max(600, a.steps // 4),
+                max(200, a.burn // 2),
+                cand["epsilon"], cand["beta"], cand["num_leapfrog_steps"],
+                trials=1,  # ranking only; winner re-measured
+                integrator=cand["integrator"],
+            )
+        except Exception as e:
+            # a transient compile-service failure must not kill a table
+            # run — an unmeasurable candidate simply cannot win
+            print(f"# candidate {cand['epsilon']:.3g}/{cand['beta']:.3g}"
+                  f"/{cand['num_leapfrog_steps']} skipped "
+                  f"({type(e).__name__})", file=sys.stderr, flush=True)
+            continue
         if trial["value"] > best_rate:
             best_rate, win = trial["value"], cand
     integ = win["integrator"]
@@ -588,12 +627,20 @@ def _arbitrate_nuts(config, sampler, cfg, a, eps, mass):
     def rate(d, lb):
         key = (d, lb)
         if key not in rates:
-            trial = measure(
-                config, sampler, max(600, a.steps // 4),
-                max(200, a.burn // 2), eps, None, d,
-                trials=1, mass_diag=mass, lane_block=lb,
-            )
-            rates[key] = trial["value"]
+            try:
+                trial = measure(
+                    config, sampler, max(600, a.steps // 4),
+                    max(200, a.burn // 2), eps, None, d,
+                    trials=1, mass_diag=mass, lane_block=lb,
+                )
+                rates[key] = trial["value"]
+            except Exception as e:
+                # transient compile-service 500s (and genuine per-shape
+                # VMEM walls below the ladder floor) mark the point
+                # unmeasurable rather than killing the table run
+                print(f"# nuts point d={d} lb={lb} skipped "
+                      f"({type(e).__name__})", file=sys.stderr, flush=True)
+                rates[key] = float("-inf")
         return rates[key]
 
     best_key = max(
