@@ -337,6 +337,12 @@ def measure(
                 print(f"# lane_block {lb_try or 'default'} failed "
                       f"({type(e).__name__}); retrying smaller",
                       file=sys.stderr, flush=True)
+                # a genuine VMEM OOM crashes the remote compile helper,
+                # which then 500s immediately-following compiles — give
+                # the service its recovery window or every smaller rung
+                # fails spuriously (observed: 512 OOM → 256/128 500 in
+                # seconds, while a fresh process compiled 256 fine)
+                time.sleep(20.0)
         wall = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
