@@ -8,7 +8,7 @@ set -x
 python - <<'PY'
 import json
 rows = []
-for p in (1, 2, 3):
+for p in ("1", "2", "3a", "3b", "3c"):
     with open(f"docs/figures/ess_receipts_part{p}.json") as f:
         rows += json.load(f)
 with open("docs/figures/ess_receipts.json", "w") as f:
